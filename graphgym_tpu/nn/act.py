@@ -1,0 +1,31 @@
+"""Activation table (reference graphgym/models/act.py:6-16).
+
+PReLU is a module (has a learned slope); the rest are pure functions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _lrelu(slope):
+    def f(x):
+        return jax.nn.leaky_relu(x, negative_slope=slope)
+    return f
+
+
+act_dict = {
+    "relu": jax.nn.relu,
+    "selu": jax.nn.selu,
+    "elu": jax.nn.elu,
+    "lrelu_01": _lrelu(0.1),
+    "lrelu_025": _lrelu(0.25),
+    "lrelu_05": _lrelu(0.5),
+    # torch PReLU default init: slope 0.25 (non-learned here; the
+    # reference design space never tunes it)
+    "prelu": _lrelu(0.25),
+    "identity": lambda x: x,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+}

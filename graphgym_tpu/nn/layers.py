@@ -1,0 +1,449 @@
+"""GNN layer zoo (flax.linen, GraphBatch in -> GraphBatch out).
+
+TPU-native re-design of the reference's layer zoo:
+  * graphgym/models/layer.py:16-238 (GeneralLayer wrapper, Linear, MLP,
+    GCN/SAGE/GAT/GIN/General convs)
+  * graphgym/contrib/layer/generalconv.py:12-218 (GeneralConvLayer with
+    agg / self_msg / normalize options, GeneralEdgeConvLayer)
+  * TfgIDLayer.py (tfg-style GCN / dot-attention GAT / mean-SAGE / GIN —
+    the fork's headline path)
+
+Design differences from the reference (deliberate, TPU-first):
+  * No global mutable cfg reads at call time — every option is a module
+    attribute wired by the model builder (SURVEY.md §7 "hard parts").
+  * Message passing = gather -> (optional per-edge transform) ->
+    masked segment reduce, all static-shape; dense projections run on
+    the MXU in one fused XLA program.
+  * Multi-head attention keeps heads as a tensor axis instead of the
+    reference's virtual-node packing (TfgIDLayer.py:333-336) — same
+    math, vectorized for the VPU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from graphgym_tpu.graphs.container import GraphBatch
+from graphgym_tpu.nn.act import act_dict
+from graphgym_tpu.nn.norm import MaskedBatchNorm, l2_normalize
+from graphgym_tpu.ops import segment as S
+from graphgym_tpu.ops import sparse as sp
+
+glorot = nn.initializers.glorot_uniform()
+zeros_init = nn.initializers.zeros
+
+
+# --------------------------------------------------------------------------
+# Basic node-feature layers
+# --------------------------------------------------------------------------
+
+class Linear(nn.Module):
+    """Linear layer on node features (reference layer.py:72-82)."""
+    dim_out: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
+        x = graph.node_feat
+        w = self.param("kernel", glorot, (x.shape[-1], self.dim_out))
+        h = jnp.dot(x, w, preferred_element_type=x.dtype)
+        if self.use_bias:
+            h = h + self.param("bias", zeros_init, (self.dim_out,))
+        return graph.replace(node_feat=h)
+
+
+class GeneralLayer(nn.Module):
+    """conv + BatchNorm + dropout + act wrapper (reference layer.py:16-47)."""
+    layer: nn.Module
+    dim_out: int
+    has_act: bool = True
+    has_bn: bool = True
+    has_l2norm: bool = False
+    dropout: float = 0.0
+    act: str = "relu"
+    bn_eps: float = 1e-5
+    bn_mom: float = 0.1
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
+        graph = self.layer(graph, train)
+        x = graph.node_feat
+        if self.has_bn:
+            x = MaskedBatchNorm(self.dim_out, eps=self.bn_eps,
+                                momentum=self.bn_mom)(
+                x, graph.node_mask, train)
+        if self.dropout > 0:
+            x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        if self.has_act:
+            x = act_dict[self.act](x)
+        if self.has_l2norm:
+            x = l2_normalize(x, axis=-1)
+        return graph.replace(node_feat=x)
+
+
+class MLP(nn.Module):
+    """MLP on node features (reference layer.py:109-132): num_layers-1
+    hidden Linear+BN+act blocks followed by a plain Linear."""
+    dim_out: int
+    num_layers: int = 2
+    dim_inner: Optional[int] = None
+    use_bias: bool = True
+    has_bn: bool = True
+    dropout: float = 0.0
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
+        dim_inner = self.dim_inner
+        for i in range(self.num_layers - 1):
+            d = dim_inner if dim_inner is not None else graph.node_feat.shape[-1]
+            graph = GeneralLayer(
+                Linear(d, use_bias=not self.has_bn), d,
+                has_act=True, has_bn=self.has_bn, dropout=self.dropout,
+                act=self.act)(graph, train)
+        return Linear(self.dim_out, use_bias=self.use_bias)(graph, train)
+
+
+# --------------------------------------------------------------------------
+# Message-passing convolutions
+# --------------------------------------------------------------------------
+
+class GCNConv(nn.Module):
+    """GCN with renormalization trick: h = D^-1/2 (A+I) D^-1/2 (x W) + b.
+
+    Matches pyg GCNConv / tfg gcn (reference layer.py:135-142,
+    TfgIDLayer.py:478-525 without the id kernel).
+    """
+    dim_out: int
+    use_bias: bool = False
+    improved: bool = False
+    spmm_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
+        x = graph.node_feat
+        w = self.param("kernel", glorot, (x.shape[-1], self.dim_out))
+        h = jnp.dot(x, w, preferred_element_type=x.dtype)
+        s, r, wgt = sp.gcn_norm(graph.senders, graph.receivers,
+                                graph.edge_weight, graph.num_nodes,
+                                improved=self.improved,
+                                node_mask=graph.node_mask)
+        h = sp.spmm(s, r, wgt, h, graph.num_nodes,
+                    implementation=self.spmm_impl)
+        if self.use_bias:
+            h = h + self.param("bias", zeros_init, (self.dim_out,))
+        return graph.replace(node_feat=h)
+
+
+class SAGEConv(nn.Module):
+    """GraphSAGE with mean aggregation.
+
+    combine='concat' matches tfg MeanGraphSage / IDSAGE
+    (TfgIDLayer.py:86-120): h = [x @ W_self || mean_nb @ W_nb];
+    combine='sum' matches pyg SAGEConv (reference layer.py:145-152):
+    h = x @ W_self + mean_nb @ W_nb.
+    """
+    dim_out: int
+    use_bias: bool = False
+    combine: str = "sum"  # 'sum' | 'concat'
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
+        x = graph.node_feat
+        d = self.dim_out // 2 if self.combine == "concat" else self.dim_out
+        w_self = self.param("self_kernel", glorot, (x.shape[-1], d))
+        w_nb = self.param("neighbor_kernel", glorot, (x.shape[-1], d))
+        # tfg's mean_reducer aggregates x[col] grouped by row=receivers
+        # where in its call row/col are (receiver, sender).
+        nb = sp.spmm(graph.senders, graph.receivers, None, x,
+                     graph.num_nodes, reduce="mean",
+                     edge_mask=graph.edge_mask)
+        h_nb = jnp.dot(nb, w_nb, preferred_element_type=x.dtype)
+        h_self = jnp.dot(x, w_self, preferred_element_type=x.dtype)
+        if self.combine == "concat":
+            h = jnp.concatenate([h_self, h_nb], axis=-1)
+        else:
+            h = h_self + h_nb
+        if self.use_bias:
+            h = h + self.param("bias", zeros_init, (self.dim_out,))
+        return graph.replace(node_feat=h)
+
+
+class GATConv(nn.Module):
+    """PyG-style additive-attention GAT (reference layer.py:155-162 via
+    pyg.nn.GATConv; math also in contrib/layer/idconv.py:317-332):
+
+      e_ij = leakyrelu(a_l . (W x_i) + a_r . (W x_j))
+      alpha = segment_softmax_j(e_ij) over receivers i
+      h_i = sum_j alpha_ij W x_j          (heads concatenated)
+
+    Self-loops are appended per node slot before attention
+    (idconv.py:302-304).
+    """
+    dim_out: int
+    heads: int = 1
+    use_bias: bool = False
+    negative_slope: float = 0.2
+    att_dropout: float = 0.0
+    concat_heads: bool = True
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
+        x = graph.node_feat
+        n = graph.num_nodes
+        h_dim = self.dim_out if not self.concat_heads else self.dim_out
+        per_head = h_dim // self.heads if self.concat_heads else h_dim
+        if self.concat_heads:
+            assert self.dim_out % self.heads == 0
+        w = self.param("kernel", glorot, (x.shape[-1],
+                                          self.heads * per_head))
+        att = self.param("att", glorot, (1, self.heads, 2 * per_head))
+        h = jnp.dot(x, w, preferred_element_type=x.dtype)
+        h = h.reshape(n, self.heads, per_head)
+
+        loop = jnp.arange(n, dtype=graph.senders.dtype)
+        senders = jnp.concatenate([graph.senders, loop])
+        receivers = jnp.concatenate([graph.receivers, loop])
+        mask = jnp.concatenate([graph.edge_mask, graph.node_mask])
+
+        h_i = jnp.take(h, receivers, axis=0)   # [E, H, F]
+        h_j = jnp.take(h, senders, axis=0)
+        alpha = jnp.sum(jnp.concatenate([h_i, h_j], axis=-1) * att, axis=-1)
+        alpha = jax.nn.leaky_relu(alpha, negative_slope=self.negative_slope)
+        alpha = S.segment_softmax(alpha, receivers, n,
+                                  mask=mask[:, None] & jnp.ones_like(
+                                      alpha, bool))
+        if self.att_dropout > 0:
+            alpha = nn.Dropout(rate=self.att_dropout,
+                               deterministic=not train)(alpha)
+        msg = h_j * alpha[..., None]
+        out = S.segment_sum(msg, receivers, n)   # [N, H, F]
+        if self.concat_heads:
+            out = out.reshape(n, self.heads * per_head)
+        else:
+            out = jnp.mean(out, axis=1)
+        if self.use_bias:
+            out = out + self.param("bias", zeros_init, (out.shape[-1],))
+        return graph.replace(node_feat=out)
+
+
+class TfgGATConv(nn.Module):
+    """tf_geometric-style multi-head dot-product attention GAT — the
+    fork's Tfg-gat model core (TfgIDLayer.py:269-388 ``gat_id`` without
+    the identity kernel):
+
+      Q = relu(x Wq + bq)[receivers],  K = relu(x Wk + bk)[senders]
+      score = sum_h(Q_h * K_h) / sqrt(d_h);  alpha = edge-softmax
+      h = alpha-SpMM over V = x Wv  (value heads split & re-concatenated)
+
+    Heads live on a tensor axis rather than as virtual nodes.
+    """
+    dim_out: int
+    heads: int = 1
+    attention_units: Optional[int] = None
+    use_bias: bool = True
+    split_value_heads: bool = True
+    att_dropout: float = 0.0
+    query_act: str = "relu"
+    key_act: str = "relu"
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
+        x = graph.node_feat
+        n = graph.num_nodes
+        att_units = self.attention_units or self.dim_out
+        assert att_units % self.heads == 0
+        dh = att_units // self.heads
+
+        wq = self.param("query_kernel", glorot, (x.shape[-1], att_units))
+        bq = self.param("query_bias", zeros_init, (att_units,))
+        wk = self.param("key_kernel", glorot, (x.shape[-1], att_units))
+        bk = self.param("key_bias", zeros_init, (att_units,))
+        wv = self.param("kernel", glorot, (x.shape[-1], self.dim_out))
+
+        q = act_dict[self.query_act](x @ wq + bq).reshape(n, self.heads, dh)
+        k = act_dict[self.key_act](x @ wk + bk).reshape(n, self.heads, dh)
+        v = jnp.dot(x, wv, preferred_element_type=x.dtype)
+
+        loop = jnp.arange(n, dtype=graph.senders.dtype)
+        senders = jnp.concatenate([graph.senders, loop])
+        receivers = jnp.concatenate([graph.receivers, loop])
+        mask = jnp.concatenate([graph.edge_mask, graph.node_mask])
+
+        score = jnp.sum(jnp.take(q, receivers, axis=0) *
+                        jnp.take(k, senders, axis=0), axis=-1)  # [E, H]
+        score = score / jnp.sqrt(jnp.asarray(dh, score.dtype))
+        alpha = S.segment_softmax(
+            score, receivers, n,
+            mask=mask[:, None] & jnp.ones_like(score, bool))
+        if self.att_dropout > 0:
+            alpha = nn.Dropout(rate=self.att_dropout,
+                               deterministic=not train)(alpha)
+
+        if self.split_value_heads:
+            assert self.dim_out % self.heads == 0
+            vh = v.reshape(n, self.heads, self.dim_out // self.heads)
+            msg = jnp.take(vh, senders, axis=0) * alpha[..., None]
+            out = S.segment_sum(msg, receivers, n)
+            out = out.reshape(n, self.dim_out)
+        else:
+            msg = jnp.take(v, senders, axis=0)[:, None, :] * alpha[..., None]
+            out = S.segment_sum(msg, receivers, n)
+            out = jnp.mean(out, axis=1)
+        if self.use_bias:
+            out = out + self.param("bias", zeros_init, (self.dim_out,))
+        return graph.replace(node_feat=out)
+
+
+class GINConv(nn.Module):
+    """GIN: h = MLP((1 + eps) x + sum_neighbors x)
+    (reference layer.py:165-174; TfgIDLayer.py:123-167)."""
+    dim_out: int
+    eps: float = 0.0
+    train_eps: bool = False
+    mlp_bn: bool = False
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
+        x = graph.node_feat
+        nb = sp.spmm(graph.senders, graph.receivers, graph.edge_weight, x,
+                     graph.num_nodes)
+        if self.train_eps:
+            eps = self.param("eps", zeros_init, ())
+        else:
+            eps = self.eps
+        h = (1.0 + eps) * x + nb
+        h = _gin_mlp(self, h, "mlp", self.dim_out, self.mlp_bn,
+                     graph.node_mask, train)
+        return graph.replace(node_feat=h)
+
+
+def _gin_mlp(mod: nn.Module, h: jnp.ndarray, prefix: str, dim_out: int,
+             with_bn: bool, node_mask, train: bool) -> jnp.ndarray:
+    """2-layer GIN MLP: Dense->ReLU->Dense (reference layer.py:168-169;
+    the Tfg variant appends BN+ReLU, main_zd.py:181-186)."""
+    w1 = mod.param(f"{prefix}_w1", glorot, (h.shape[-1], dim_out))
+    b1 = mod.param(f"{prefix}_b1", zeros_init, (dim_out,))
+    w2 = mod.param(f"{prefix}_w2", glorot, (dim_out, dim_out))
+    b2 = mod.param(f"{prefix}_b2", zeros_init, (dim_out,))
+    h = jax.nn.relu(jnp.dot(h, w1, preferred_element_type=h.dtype) + b1)
+    h = jnp.dot(h, w2, preferred_element_type=h.dtype) + b2
+    if with_bn:
+        h = MaskedBatchNorm(dim_out, name=f"{prefix}_bn")(h, node_mask, train)
+        h = jax.nn.relu(h)
+    return h
+
+
+class GeneralConv(nn.Module):
+    """GraphGym's configurable conv (contrib/layer/generalconv.py:12-114):
+
+      msg = norm * (x W)[senders]   (norm = GCN sym-norm if normalize_adj)
+      agg in {add, mean, max} over receivers
+      self_msg in {none, add, concat}: out = msg | msg + x | msg + x W_self
+    """
+    dim_out: int
+    use_bias: bool = False
+    agg: str = "add"
+    self_msg: str = "concat"
+    normalize_adj: bool = False
+    improved: bool = False
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
+        x = graph.node_feat
+        w = self.param("kernel", glorot, (x.shape[-1], self.dim_out))
+        h = jnp.dot(x, w, preferred_element_type=x.dtype)
+        if self.self_msg == "concat":
+            w_self = self.param("self_kernel", glorot,
+                                (x.shape[-1], self.dim_out))
+            h_self = jnp.dot(x, w_self, preferred_element_type=x.dtype)
+
+        if self.normalize_adj:
+            s, r, wgt = sp.gcn_norm(graph.senders, graph.receivers,
+                                    graph.edge_weight, graph.num_nodes,
+                                    improved=self.improved,
+                                    node_mask=graph.node_mask)
+            mask = jnp.concatenate([graph.edge_mask, graph.node_mask])
+        else:
+            s, r, wgt = graph.senders, graph.receivers, graph.edge_weight
+            mask = graph.edge_mask
+        reduce = {"add": "sum", "mean": "mean", "max": "max"}[self.agg]
+        h_msg = sp.spmm(s, r, wgt, h, graph.num_nodes, reduce=reduce,
+                        edge_mask=mask)
+        if self.use_bias:
+            h_msg = h_msg + self.param("bias", zeros_init, (self.dim_out,))
+        if self.self_msg == "none":
+            out = h_msg
+        elif self.self_msg == "add":
+            out = h_msg + h
+        elif self.self_msg == "concat":
+            out = h_msg + h_self
+        else:
+            raise ValueError(f"self_msg {self.self_msg} not defined")
+        return graph.replace(node_feat=out)
+
+
+class GeneralEdgeConv(nn.Module):
+    """GeneralConv with edge features in the message
+    (contrib/layer/generalconv.py:117-218):
+      msg_e = Linear([x_j, e] or [x_i, x_j, e]);  agg over receivers;
+      self_msg as in GeneralConv.
+    With sample_rate < 1, a random subset of edges is used per call
+    (GeneralSampleEdgeConv, reference layer.py:210-221).
+    """
+    dim_out: int
+    use_bias: bool = False
+    agg: str = "add"
+    self_msg: str = "concat"
+    normalize_adj: bool = False
+    msg_direction: str = "single"
+    sample_rate: float = 1.0
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
+        x = graph.node_feat
+        e = graph.edge_feat
+        assert e is not None, "GeneralEdgeConv requires edge features"
+        senders, receivers = graph.senders, graph.receivers
+        edge_mask = graph.edge_mask
+        if self.sample_rate < 1.0 and train:
+            rng = self.make_rng("dropout")
+            keep = (jax.random.uniform(rng, edge_mask.shape)
+                    < self.sample_rate)
+            edge_mask = edge_mask & keep
+
+        x_j = jnp.take(x, senders, axis=0)
+        if self.msg_direction == "both":
+            x_i = jnp.take(x, receivers, axis=0)
+            feat = jnp.concatenate([x_i, x_j, e], axis=-1)
+        else:
+            feat = jnp.concatenate([x_j, e], axis=-1)
+        w_msg = self.param("msg_kernel", glorot,
+                           (feat.shape[-1], self.dim_out))
+        msg = jnp.dot(feat, w_msg, preferred_element_type=x.dtype)
+        msg = jnp.where(edge_mask[:, None], msg, 0.0)
+        reduce = {"add": "sum", "mean": "mean", "max": "max"}[self.agg]
+        h_msg = S.segment_sum(msg, receivers, graph.num_nodes) \
+            if reduce == "sum" else (
+                S.segment_mean(msg, receivers, graph.num_nodes,
+                               mask=edge_mask) if reduce == "mean"
+                else S.segment_max(msg, receivers, graph.num_nodes,
+                                   mask=edge_mask))
+        if self.use_bias:
+            h_msg = h_msg + self.param("bias", zeros_init, (self.dim_out,))
+        if self.self_msg == "none":
+            out = h_msg
+        elif self.self_msg == "add":
+            out = x + h_msg if x.shape[-1] == h_msg.shape[-1] else h_msg
+        elif self.self_msg == "concat":
+            w_self = self.param("self_kernel", glorot,
+                                (x.shape[-1], self.dim_out))
+            out = jnp.dot(x, w_self,
+                          preferred_element_type=x.dtype) + h_msg
+        else:
+            raise ValueError(f"self_msg {self.self_msg} not defined")
+        return graph.replace(node_feat=out)

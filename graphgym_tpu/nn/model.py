@@ -1,0 +1,286 @@
+"""Model composition: stages + full GNN + config-driven builder.
+
+Re-designs the reference's model stack (graphgym/models/gnn.py:19-168,
+model_builder.py) as explicit flax modules: every config read happens
+once in ``build_model``; the modules themselves are pure.
+
+GNN = encoder? -> pre_mp MLP stack -> message-passing stage -> task head,
+with L2 feature normalization after the stage (gnn.py:79-80) and
+stack / skipsum / skipconcat stage wiring (gnn.py:30-118).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from graphgym_tpu import register
+from graphgym_tpu.graphs.container import GraphBatch
+from graphgym_tpu.nn import id_layers as idl
+from graphgym_tpu.nn import layers as L
+from graphgym_tpu.nn.act import act_dict
+from graphgym_tpu.nn.heads import (GNNEdgeHead, GNNGraphHead, GNNNodeHead,
+                                   HeadOut)
+from graphgym_tpu.nn.norm import l2_normalize
+
+
+# --------------------------------------------------------------------------
+# Layer factory
+# --------------------------------------------------------------------------
+
+def make_conv(name: str, dim_out: int, gnn_cfg, use_bias: bool) -> nn.Module:
+    """Instantiate a conv layer by registry name with options drawn from
+    the gnn config group (the explicit replacement for the reference's
+    cfg-at-construction reads, layer.py:224-238 + idconv.py:444-448)."""
+    heads = gnn_cfg.att_heads
+    common = dict(dim_out=dim_out, use_bias=use_bias)
+    table: Dict[str, Callable[[], nn.Module]] = {
+        "linear": lambda: L.Linear(dim_out, use_bias=use_bias),
+        "mlp": lambda: L.MLP(dim_out, use_bias=use_bias, act=gnn_cfg.act),
+        "gcnconv": lambda: L.GCNConv(**common),
+        "sageconv": lambda: L.SAGEConv(**common, combine="sum"),
+        "gatconv": lambda: L.GATConv(**common, heads=heads),
+        "ginconv": lambda: L.GINConv(dim_out),
+        "generalconv": lambda: L.GeneralConv(
+            **common, agg=gnn_cfg.agg, self_msg=gnn_cfg.self_msg,
+            normalize_adj=gnn_cfg.normalize_adj),
+        "generaledgeconv": lambda: L.GeneralEdgeConv(
+            **common, agg=gnn_cfg.agg, self_msg=gnn_cfg.self_msg,
+            normalize_adj=gnn_cfg.normalize_adj,
+            msg_direction=gnn_cfg.msg_direction),
+        "generalsampleedgeconv": lambda: L.GeneralEdgeConv(
+            **common, agg=gnn_cfg.agg, self_msg=gnn_cfg.self_msg,
+            normalize_adj=gnn_cfg.normalize_adj,
+            msg_direction=gnn_cfg.msg_direction,
+            sample_rate=gnn_cfg.keep_edge),
+        # ---- ID-GNN Full (torch path names, idconv.py:444-448)
+        "idconv": lambda: idl.GeneralIDConv(
+            **common, agg=gnn_cfg.agg,
+            normalize_adj=gnn_cfg.normalize_adj),
+        "gcnidconv": lambda: idl.GCNIDConv(**common),
+        "sageidconv": lambda: idl.SAGEIDConv(**common, concat_self=True),
+        "gatidconv": lambda: idl.GATIDConv(**common, heads=heads),
+        "ginidconv": lambda: idl.GINIDConv(dim_out),
+        # ---- tfg path layer types (main_zd.py:299-308, 'Tfg-' prefix)
+        "Tfg-gcnconv": lambda: L.GCNConv(dim_out, use_bias=True),
+        "Tfg-sageconv": lambda: L.SAGEConv(dim_out, use_bias=True,
+                                           combine="concat"),
+        "Tfg-gatconv": lambda: L.TfgGATConv(dim_out, heads=heads),
+        "Tfg-ginconv": lambda: L.GINConv(dim_out, mlp_bn=True),
+        "Tfg-idgcn": lambda: idl.GCNIDConv(dim_out, use_bias=True),
+        "Tfg-idsage": lambda: idl.TfgIDSAGE(dim_out, use_bias=True),
+        "Tfg-idgat": lambda: idl.TfgIDGAT(dim_out, heads=heads),
+        "Tfg-idgin": lambda: idl.GINIDConv(dim_out, mlp_bn=True),
+    }
+    if name in register.layer_dict:
+        return register.layer_dict[name](dim_out=dim_out, use_bias=use_bias,
+                                         gnn_cfg=gnn_cfg)
+    if name not in table:
+        raise ValueError(f"Unknown layer type: {name}")
+    return table[name]()
+
+
+@dataclasses.dataclass(frozen=True)
+class GNNOptions:
+    """Static snapshot of the cfg groups the model needs."""
+    layer_type: str
+    stage_type: str = "stack"
+    layers_pre_mp: int = 0
+    layers_mp: int = 2
+    layers_post_mp: int = 1
+    dim_inner: int = 16
+    skip_every: int = 1
+    batchnorm: bool = True
+    act: str = "relu"
+    dropout: float = 0.0
+    agg: str = "add"
+    normalize_adj: bool = False
+    msg_direction: str = "single"
+    self_msg: str = "concat"
+    att_heads: int = 1
+    l2norm: bool = True
+    keep_edge: float = 0.5
+    bn_eps: float = 1e-5
+    bn_mom: float = 0.1
+    task: str = "node"
+    graph_pooling: str = "add"
+    edge_decoding: str = "dot"
+    ego: bool = False
+    dim_out: int = 2
+    tfg_head: bool = False
+
+
+def _gnn_layer(opts: GNNOptions, dim_out: int, has_act: bool = True):
+    conv = make_conv(opts.layer_type, dim_out, opts,
+                     use_bias=not opts.batchnorm)
+    return L.GeneralLayer(conv, dim_out, has_act=has_act,
+                          has_bn=opts.batchnorm, dropout=opts.dropout,
+                          act=opts.act, bn_eps=opts.bn_eps,
+                          bn_mom=opts.bn_mom)
+
+
+class GNNStackStage(nn.Module):
+    """Plain stack of MP layers + optional L2 norm (gnn.py:65-81)."""
+    opts: GNNOptions
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
+        for _ in range(self.opts.layers_mp):
+            graph = _gnn_layer(self.opts, self.opts.dim_inner)(graph, train)
+        if self.opts.l2norm:
+            graph = graph.replace(
+                node_feat=l2_normalize(graph.node_feat, axis=-1))
+        return graph
+
+
+class GNNSkipStage(nn.Module):
+    """skipsum / skipconcat stage (gnn.py:30-109): blocks of
+    ``skip_every`` layers with residual sum or concat, activation after
+    the merge."""
+    opts: GNNOptions
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
+        opts = self.opts
+        assert opts.layers_mp % opts.skip_every == 0
+        num_blocks = opts.layers_mp // opts.skip_every
+        act = act_dict[opts.act]
+        for b in range(num_blocks):
+            x_in = graph.node_feat
+            g = graph
+            for i in range(opts.skip_every):
+                has_act = i < opts.skip_every - 1
+                g = _gnn_layer(opts, opts.dim_inner, has_act=has_act)(
+                    g, train)
+            if opts.stage_type == "skipsum":
+                assert x_in.shape[-1] == g.node_feat.shape[-1], (
+                    "Sum skip needs matching dims; set dim_inner == dim_in")
+                merged = x_in + g.node_feat
+            elif opts.stage_type == "skipconcat":
+                merged = jnp.concatenate([x_in, g.node_feat], axis=-1)
+            else:
+                raise ValueError(opts.stage_type)
+            graph = g.replace(node_feat=act(merged))
+        if opts.l2norm:
+            graph = graph.replace(
+                node_feat=l2_normalize(graph.node_feat, axis=-1))
+        return graph
+
+
+stage_dict: Dict[str, Any] = {
+    "stack": GNNStackStage,
+    "skipsum": GNNSkipStage,
+    "skipconcat": GNNSkipStage,
+}
+
+
+class TfgMLPHead(nn.Module):
+    """The Tfg models' inference head: Dense(256, relu) -> Dense(C)
+    (reference main_zd.py:37-39), followed by the node-label gather."""
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, train: bool = False) -> HeadOut:
+        x = graph.node_feat
+        w1 = self.param("head_kernel1", L.glorot, (x.shape[-1], 256))
+        b1 = self.param("head_bias1", L.zeros_init, (256,))
+        w2 = self.param("head_kernel2", L.glorot, (256, self.dim_out))
+        b2 = self.param("head_bias2", L.zeros_init, (self.dim_out,))
+        h = jnp.maximum(x @ w1 + b1, 0.0)
+        h = h @ w2 + b2
+        idx = graph.node_label_index
+        if idx is None:
+            return h, graph.node_label, graph.node_mask
+        pred = jnp.take(h, idx, axis=0)
+        label = jnp.take(graph.node_label, idx, axis=0)
+        return pred, label, graph.label_mask
+
+
+class GNN(nn.Module):
+    """Full model (gnn.py:123-168): pre_mp MLP stack -> MP stage -> head.
+
+    Feature-augmentation concat (the reference's Preprocess module,
+    feature_augment.py:314-333) happens in the data pipeline, so
+    node_feat arrives fully assembled.
+    """
+    opts: GNNOptions
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, train: bool = False) -> HeadOut:
+        opts = self.opts
+        if opts.layers_pre_mp > 0:
+            graph = L.MLP(opts.dim_inner,
+                          num_layers=opts.layers_pre_mp + 1,
+                          dim_inner=opts.dim_inner, use_bias=False,
+                          has_bn=opts.batchnorm, dropout=opts.dropout,
+                          act=opts.act, name="pre_mp")(graph, train)
+            # reference GNNPreMP has final_act=True on the last layer
+            graph = graph.replace(
+                node_feat=act_dict[opts.act](graph.node_feat))
+        if opts.layers_mp > 0:
+            stage = stage_dict.get(opts.stage_type)
+            if stage is None:
+                stage = register.stage_dict[opts.stage_type]
+            graph = stage(opts, name="mp")(graph, train)
+        if opts.tfg_head:
+            head = TfgMLPHead(opts.dim_out, name="post_mp")
+        elif opts.task == "node":
+            head = GNNNodeHead(opts.dim_out,
+                               layers_post_mp=opts.layers_post_mp,
+                               dim_inner=opts.dim_inner, act=opts.act,
+                               name="post_mp")
+        elif opts.task in ("edge", "link_pred"):
+            head = GNNEdgeHead(opts.dim_out, decoding=opts.edge_decoding,
+                               layers_post_mp=opts.layers_post_mp,
+                               dim_inner=opts.dim_inner, act=opts.act,
+                               name="post_mp")
+        elif opts.task == "graph":
+            head = GNNGraphHead(opts.dim_out, pooling=opts.graph_pooling,
+                                ego=opts.ego,
+                                layers_post_mp=opts.layers_post_mp,
+                                dim_inner=opts.dim_inner, act=opts.act,
+                                name="post_mp")
+        else:
+            raise ValueError(f"Unknown task {opts.task}")
+        return head(graph, train)
+
+
+def options_from_cfg(cfg) -> GNNOptions:
+    """Snapshot cfg into the static GNNOptions dataclass."""
+    return GNNOptions(
+        layer_type=cfg.gnn.layer_type,
+        stage_type=cfg.gnn.stage_type,
+        layers_pre_mp=cfg.gnn.layers_pre_mp,
+        layers_mp=cfg.gnn.layers_mp,
+        layers_post_mp=max(cfg.gnn.layers_post_mp, 1),
+        dim_inner=cfg.gnn.dim_inner,
+        skip_every=cfg.gnn.skip_every,
+        batchnorm=cfg.gnn.batchnorm,
+        act=cfg.gnn.act,
+        dropout=cfg.gnn.dropout,
+        agg=cfg.gnn.agg,
+        normalize_adj=cfg.gnn.normalize_adj,
+        msg_direction=cfg.gnn.msg_direction,
+        self_msg=cfg.gnn.self_msg,
+        att_heads=cfg.gnn.att_heads,
+        l2norm=cfg.gnn.l2norm,
+        keep_edge=cfg.gnn.keep_edge,
+        bn_eps=cfg.bn.eps,
+        bn_mom=cfg.bn.mom,
+        task=cfg.dataset.task,
+        graph_pooling=cfg.model.graph_pooling,
+        edge_decoding=cfg.model.edge_decoding,
+        ego=cfg.dataset.transform == "ego",
+        dim_out=cfg.share.dim_out,
+        tfg_head=cfg.gnn.layer_type.startswith("Tfg-"),
+    )
+
+
+def build_model(cfg) -> GNN:
+    """create_model equivalent (reference model_builder.py:15)."""
+    if cfg.model.type in register.network_dict:
+        return register.network_dict[cfg.model.type](options_from_cfg(cfg))
+    return GNN(options_from_cfg(cfg))
