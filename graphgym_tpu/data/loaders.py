@@ -1,0 +1,593 @@
+"""Dataset loading, splitting, transforms, and GraphBatch batching.
+
+Re-implements the reference's L2 pipeline (graphgym/loader.py:24-260):
+  load raw graphs -> feature augmentation -> label replacement -> split
+  -> ego/edge transform per split -> batched loaders
+but produces static-shape GraphBatch pytrees ready for jit instead of
+DeepSNAP Batches.
+
+Formats (cfg.dataset.format, 'Tfg-' prefixes accepted like
+loader.py:111-118): 'nx' = pickled networkx lists (the shipped
+ba/ws/scalefree/smallworld corpora), 'Planetoid' / 'PyG' = raw Planetoid
+files parsed natively (no torch-geometric dependency), 'TU' = raw TU
+format, 'syn' = generated on the fly.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from graphgym_tpu import register
+from graphgym_tpu.data.augment import FeatureAugment, replace_label
+from graphgym_tpu.data.hostgraph import HostGraph, from_networkx
+from graphgym_tpu.data.transforms import (edge_nets, ego_nets,
+                                          negative_sampling,
+                                          path_len_labels,
+                                          remove_node_feature)
+from graphgym_tpu.graphs.container import (GraphBatch, bucket_size,
+                                           build_graph_batch)
+
+# Known locations of the shipped synthetic corpora (read-only reference
+# checkout first, then local dirs).
+_SEARCH_DIRS = [
+    "./datasets", "./run/datasets",
+    "/root/reference/run/datasets", "/root/reference/datasets",
+]
+
+
+def _find_file(name: str, dataset_dir: str) -> Optional[str]:
+    for d in [dataset_dir] + _SEARCH_DIRS:
+        p = os.path.join(d, name)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def load_nx(name: str, dataset_dir: str) -> List[HostGraph]:
+    """Pickled networkx graph lists (reference load_nx,
+    loader.py:78-92)."""
+    path = _find_file(f"{name}.pkl", dataset_dir)
+    if path is None:
+        raise FileNotFoundError(
+            f"{name}.pkl not found under {dataset_dir} or {_SEARCH_DIRS}")
+    with open(path, "rb") as f:
+        graphs = pickle.load(f)
+    if not isinstance(graphs, list):
+        graphs = [graphs]
+    return [from_networkx(g) for g in graphs]
+
+
+def load_planetoid(name: str, dataset_dir: str) -> List[HostGraph]:
+    """Native parser for the raw Planetoid files (ind.<name>.{x,tx,allx,
+    y,ty,ally,graph,test.index}) — the format behind PyG's
+    Planetoid('Cora'/'CiteSeer'/'PubMed') used at reference
+    loader.py:32-33."""
+    lname = name.lower()
+    base = None
+    for d in [dataset_dir] + _SEARCH_DIRS:
+        cand = [os.path.join(d, name, "raw"), os.path.join(d, name),
+                os.path.join(d, lname, "raw"), d]
+        for c in cand:
+            if os.path.exists(os.path.join(c, f"ind.{lname}.graph")):
+                base = c
+                break
+        if base:
+            break
+    if base is None:
+        raise FileNotFoundError(
+            f"Planetoid raw files for {name} not found (need "
+            f"ind.{lname}.* under {dataset_dir})")
+
+    def _load(suffix):
+        with open(os.path.join(base, f"ind.{lname}.{suffix}"), "rb") as f:
+            return pickle.load(f, encoding="latin1")
+
+    x, tx, allx = _load("x"), _load("tx"), _load("allx")
+    y, ty, ally = _load("y"), _load("ty"), _load("ally")
+    graph = _load("graph")
+    test_idx = np.loadtxt(os.path.join(base, f"ind.{lname}.test.index"),
+                          dtype=np.int64)
+
+    def dense(m):
+        return np.asarray(m.todense()) if hasattr(m, "todense") \
+            else np.asarray(m)
+
+    allx, tx = dense(allx), dense(tx)
+    ally, ty = np.asarray(ally), np.asarray(ty)
+    test_sorted = np.sort(test_idx)
+    n = int(test_idx.max()) + 1
+    d = allx.shape[1]
+    feat = np.zeros((n, d), np.float32)
+    labels = np.zeros((n, ally.shape[1]), np.float32)
+    feat[:allx.shape[0]] = allx
+    labels[:ally.shape[0]] = ally
+    # row i of tx/ty corresponds to node test_idx[i] (CiteSeer has gaps
+    # in test_idx; the missing isolated nodes keep zero features)
+    del test_sorted
+    feat[test_idx] = tx
+    labels[test_idx] = ty
+    edges = []
+    for u, nbrs in graph.items():
+        for v in nbrs:
+            if u < n and v < n:
+                edges.append((u, v))
+    edge_index = np.asarray(edges, np.int32).T
+    # symmetrize + dedup
+    und = np.unique(np.concatenate(
+        [edge_index, edge_index[::-1]], axis=1), axis=1)
+    hg = HostGraph(n, und.astype(np.int32))
+    hg["node_feature"] = feat
+    hg["node_label"] = labels.argmax(-1).astype(np.int64)
+    return [hg]
+
+
+def load_tu(name: str, dataset_dir: str) -> List[HostGraph]:
+    """Native parser for raw TU datasets (DS_A.txt,
+    DS_graph_indicator.txt, DS_graph_labels.txt, optional
+    DS_node_labels.txt / DS_node_attributes.txt) — the format behind
+    TUDataset at reference loader.py:34-53."""
+    for d in [dataset_dir] + _SEARCH_DIRS:
+        for sub in (os.path.join(d, name, "raw"), os.path.join(d, name),
+                    d):
+            if os.path.exists(os.path.join(sub, f"{name}_A.txt")):
+                base = sub
+                break
+        else:
+            continue
+        break
+    else:
+        raise FileNotFoundError(
+            f"TU raw files {name}_A.txt not found under {dataset_dir}")
+
+    def maybe(fname):
+        p = os.path.join(base, fname)
+        return np.loadtxt(p, delimiter=",", ndmin=2) \
+            if os.path.exists(p) else None
+
+    a = np.loadtxt(os.path.join(base, f"{name}_A.txt"),
+                   delimiter=",").astype(np.int64) - 1   # 1-indexed
+    indicator = np.loadtxt(
+        os.path.join(base, f"{name}_graph_indicator.txt")).astype(
+        np.int64) - 1
+    glabels = maybe(f"{name}_graph_labels.txt")
+    nlabels = maybe(f"{name}_node_labels.txt")
+    nattrs = maybe(f"{name}_node_attributes.txt")
+
+    graphs = []
+    num_graphs = indicator.max() + 1
+    node_offsets = np.zeros(num_graphs + 1, np.int64)
+    counts = np.bincount(indicator, minlength=num_graphs)
+    node_offsets[1:] = np.cumsum(counts)
+    edge_graph = indicator[a[:, 0]]
+    for gi in range(num_graphs):
+        lo, hi = node_offsets[gi], node_offsets[gi + 1]
+        em = edge_graph == gi
+        ei = (a[em] - lo).T.astype(np.int32)
+        hg = HostGraph(int(hi - lo), ei)
+        feats = []
+        if nattrs is not None:
+            feats.append(nattrs[lo:hi].astype(np.float32))
+        if nlabels is not None:
+            lab = nlabels[lo:hi].astype(np.int64).reshape(-1)
+            k = int(nlabels.max()) + 1
+            oh = np.zeros((len(lab), k), np.float32)
+            oh[np.arange(len(lab)), lab] = 1
+            feats.append(oh)
+        if not feats:
+            feats.append(np.ones((int(hi - lo), 1), np.float32))
+        hg["node_feature"] = np.concatenate(feats, axis=1)
+        if glabels is not None:
+            gl = glabels[gi].reshape(-1)[0]
+            hg["graph_label"] = np.asarray([int(gl)], np.int64)
+        graphs.append(hg)
+    return graphs
+
+
+def tu_simple_filter(graphs: List[HostGraph]) -> List[HostGraph]:
+    """Reference loader.py:45-53: for synthetic node tasks on TU data,
+    keep the 100 smallest graphs that have > 200 edges."""
+    sizes = np.array([g.num_edges if g.num_edges >= 200 else 9999
+                      for g in graphs])
+    order = np.argsort(sizes, kind="stable")[:100]
+    return [graphs[i] for i in order]
+
+
+def load_dataset(cfg) -> List[HostGraph]:
+    fmt = cfg.dataset.format
+    if fmt.startswith("Tfg-"):
+        fmt = fmt[4:]
+    name = cfg.dataset.name
+    for func in register.loader_dict.values():
+        graphs = func(fmt, name, cfg.dataset.dir)
+        if graphs is not None:
+            return graphs
+    if fmt == "nx":
+        return load_nx(name, cfg.dataset.dir)
+    if fmt in ("PyG", "Planetoid"):
+        if name in ("Cora", "CiteSeer", "PubMed"):
+            return load_planetoid(name, cfg.dataset.dir)
+        if name.startswith("TU_"):
+            graphs = load_tu(name[3:], cfg.dataset.dir)
+            if cfg.dataset.tu_simple and cfg.dataset.task != "graph":
+                graphs = tu_simple_filter(graphs)
+            return graphs
+        raise ValueError(f"PyG dataset {name} not supported natively; "
+                         "provide raw files or use nx format")
+    if fmt == "TU":
+        graphs = load_tu(name, cfg.dataset.dir)
+        if cfg.dataset.tu_simple and cfg.dataset.task != "graph":
+            graphs = tu_simple_filter(graphs)
+        return graphs
+    if fmt == "syn":
+        from graphgym_tpu.data.synthetic import generate_syn_graphs
+        return generate_syn_graphs(name, seed=cfg.seed)
+    raise ValueError(f"Unknown data format: {cfg.dataset.format}")
+
+
+# ----------------------------------------------------------------- splits
+
+def split_dataset(graphs: List[HostGraph], cfg,
+                  rng: np.random.Generator) -> List[List[HostGraph]]:
+    """DeepSNAP-style random split (reference loader.py:227-230).
+
+    Transductive: each split shares the graphs; supervision indices
+    (node_label_index / edge supervision) are partitioned by ratio.
+    Inductive: the list of graphs is partitioned.
+    """
+    ratios = list(cfg.dataset.split)
+    if cfg.dataset.task == "graph":
+        transductive = False
+    else:
+        transductive = cfg.dataset.transductive
+
+    if not transductive:
+        idx = np.arange(len(graphs))
+        if cfg.dataset.shuffle_split:
+            rng.shuffle(idx)
+        bounds = np.cumsum([int(r * len(graphs)) for r in ratios[:-1]])
+        parts = np.split(idx, bounds)
+        splits = [[graphs[i] for i in part] for part in parts]
+        for part in splits:
+            for g in part:
+                _default_supervision(g, cfg)
+        return splits
+
+    # transductive
+    splits = [[] for _ in ratios]
+    for g in graphs:
+        if cfg.dataset.task == "node":
+            n = g.num_nodes
+            perm = rng.permutation(n) if cfg.dataset.shuffle_split \
+                else np.arange(n)
+            bounds = np.cumsum([int(r * n) for r in ratios[:-1]])
+            parts = np.split(perm, bounds)
+            for si, part in enumerate(parts):
+                gg = g.copy()
+                gg["node_label_index"] = np.sort(part)
+                splits[si].append(gg)
+        elif cfg.dataset.task in ("link_pred", "edge"):
+            e = g.num_edges
+            # split undirected edge pairs (both directions together)
+            s, r = g.senders, g.receivers
+            upper = s < r
+            pairs = np.stack([s[upper], r[upper]], axis=0)
+            m = pairs.shape[1]
+            perm = rng.permutation(m)
+            bounds = np.cumsum([int(rt * m) for rt in ratios[:-1]])
+            parts = np.split(perm, bounds)
+            train_pairs = pairs[:, parts[0]]
+            msg_edges = np.concatenate(
+                [train_pairs, train_pairs[::-1]], axis=1)
+            for si, part in enumerate(parts):
+                gg = g.copy()
+                pos = pairs[:, part]
+                # message edges: train edges for every split
+                gg.edge_index = msg_edges.astype(np.int32)
+                gg._csr_indptr = gg._csr_indices = None
+                neg = negative_sampling(
+                    g.edge_index, g.num_nodes,
+                    int(pos.shape[1] *
+                        (cfg.dataset.edge_negative_sampling_ratio
+                         if si == 0 else 1.0)), rng)
+                eli = np.concatenate([pos, neg], axis=1)
+                el = np.concatenate([np.ones(pos.shape[1]),
+                                     np.zeros(neg.shape[1])])
+                gg["edge_label_index"] = eli.astype(np.int32)
+                gg["edge_label"] = el.astype(np.int64)
+                splits[si].append(gg)
+        else:
+            raise ValueError(
+                f"Transductive split undefined for task "
+                f"{cfg.dataset.task}")
+    return splits
+
+
+def _default_supervision(g: HostGraph, cfg) -> None:
+    """Inductive splits supervise every node (node task)."""
+    if cfg.dataset.task == "node" and "node_label_index" not in g:
+        g["node_label_index"] = np.arange(g.num_nodes)
+
+
+# ------------------------------------------------------------ create_dataset
+
+def create_dataset(cfg, rng: Optional[np.random.Generator] = None
+                   ) -> List[List[HostGraph]]:
+    """Full pipeline (reference create_dataset, loader.py:191-244)."""
+    rng = rng or np.random.default_rng(cfg.seed)
+    t1 = time.time()
+    graphs = load_dataset(cfg)
+    # min-node filter (loader.py:129-138)
+    min_node = 0 if cfg.dataset.task == "graph" else 5
+    graphs = [g for g in graphs if g.num_nodes > min_node]
+
+    t2 = time.time()
+    if cfg.dataset.remove_feature:
+        for g in graphs:
+            remove_node_feature(g)
+    aug = FeatureAugment(rng)
+    aug.augment(graphs, cfg)
+    if cfg.dataset.augment_label:
+        for g in graphs:
+            replace_label(g, cfg)
+    # ID-GNN path-prediction labels (loader.py:162-164)
+    if cfg.dataset.task == "edge" and "id" in cfg.gnn.layer_type:
+        for g in graphs:
+            path_len_labels(g, rng=rng)
+
+    t3 = time.time()
+    splits = split_dataset(graphs, cfg, rng)
+
+    t4 = time.time()
+    if cfg.dataset.transform == "ego":
+        radius = cfg.gnn.layers_mp
+        splits = [[ego_nets(g, radius=radius) for g in part]
+                  for part in splits]
+    elif cfg.dataset.transform == "edge":
+        splits = [[edge_nets(g) for g in part] for part in splits]
+        cfg.dataset.task = "node"
+    t5 = time.time()
+    logging.info(
+        "Load: %.4fs, Before split: %.4fs, Split: %.4fs, "
+        "After split: %.4fs", t2 - t1, t3 - t2, t4 - t3, t5 - t4)
+
+    set_dataset_info(splits, cfg)
+    return splits
+
+
+def set_dataset_info(splits, cfg) -> None:
+    """Fill cfg.share dims (reference loader_pyg.py:165-191)."""
+    g0 = splits[0][0]
+    dim_in = int(np.asarray(g0["node_feature"]).shape[-1]) \
+        if "node_feature" in g0 else 1
+    for key in cfg.dataset.augment_feature:
+        dim_in += int(np.asarray(g0[key]).shape[-1])
+    cfg.share.dim_in = dim_in
+    # output dim
+    if cfg.dataset.task == "graph":
+        labels = np.concatenate(
+            [np.asarray(g["graph_label"]).reshape(-1)
+             for part in splits for g in part])
+    elif cfg.dataset.task in ("edge", "link_pred"):
+        labels = np.concatenate(
+            [np.asarray(g["edge_label"]).reshape(-1)
+             for part in splits for g in part
+             if "edge_label" in g]) if any(
+            "edge_label" in g for part in splits for g in part) else \
+            np.array([0, 1])
+    else:
+        labels = np.concatenate(
+            [np.asarray(g["node_label"]).reshape(-1)
+             for part in splits for g in part])
+    if "classification" in cfg.dataset.task_type:
+        num = int(labels.max()) + 1 if labels.size else 2
+        # binary link prediction decodes to a scalar
+        if cfg.dataset.task in ("edge", "link_pred") \
+                and cfg.model.edge_decoding != "concat":
+            cfg.share.dim_out = 1
+        else:
+            cfg.share.dim_out = max(num, 2)
+    else:
+        cfg.share.dim_out = 1
+    cfg.share.num_splits = len(splits)
+
+
+# ----------------------------------------------------------------- batching
+
+def graph_to_arrays(g: HostGraph, cfg):
+    """Assemble final node features: [augment feats..., node_feature]
+    (order of the reference Preprocess dim_dict,
+    feature_augment.py:314-333)."""
+    feats = []
+    for key in cfg.dataset.augment_feature:
+        v = np.asarray(g[key], np.float32)
+        feats.append(v if v.ndim > 1 else v[:, None])
+    if "node_feature" in g:
+        v = np.asarray(g["node_feature"], np.float32)
+        feats.append(v if v.ndim > 1 else v[:, None])
+    if not feats:
+        feats.append(np.ones((g.num_nodes, 1), np.float32))
+    return np.concatenate(feats, axis=1)
+
+
+class GraphLoader:
+    """Batched loader producing static-shape GraphBatches.
+
+    All batches share one padded (nodes, edges, labels) bucket so jit
+    compiles a single program per split; train batches can be
+    re-partitioned each epoch with ``shuffle_epoch`` without changing
+    shapes (the reference reshuffles via DataLoader, loader.py:247-251).
+    """
+
+    def __init__(self, graphs: Sequence[HostGraph], cfg, *,
+                 batch_size: int, shuffle: bool,
+                 rng: Optional[np.random.Generator] = None):
+        self.graphs = list(graphs)
+        self.cfg = cfg
+        self.batch_size = max(1, min(batch_size, len(self.graphs)))
+        self.shuffle = shuffle
+        self.rng = rng or np.random.default_rng(cfg.seed)
+        self._plan_shapes()
+
+    def _plan_shapes(self):
+        bs = self.batch_size
+        per_batch_nodes, per_batch_edges, per_batch_labels = [], [], []
+        num_batches = (len(self.graphs) + bs - 1) // bs
+        sizes = [(g.num_nodes, g.num_edges,
+                  len(g.get("node_label_index", []))
+                  if "node_label_index" in g else g.num_nodes,
+                  g.get("edge_label_index").shape[1]
+                  if "edge_label_index" in g
+                  and g["edge_label_index"] is not None else 0,
+                  len(g.get("node_id_index", []))
+                  if "node_id_index" in g else 0)
+                 for g in self.graphs]
+        # worst-case batch = bs largest graphs
+        top_n = sorted((s[0] for s in sizes), reverse=True)[:bs]
+        top_e = sorted((s[1] for s in sizes), reverse=True)[:bs]
+        top_l = sorted((s[2] for s in sizes), reverse=True)[:bs]
+        top_el = sorted((s[3] for s in sizes), reverse=True)[:bs]
+        top_id = sorted((s[4] for s in sizes), reverse=True)[:bs]
+        bucket = self.cfg.tpu.pad_buckets
+        self.pad_nodes = bucket_size(sum(top_n) + 1) if bucket \
+            else sum(top_n) + 1
+        self.pad_edges = bucket_size(max(sum(top_e), 1)) if bucket \
+            else max(sum(top_e), 1)
+        self.pad_labels = bucket_size(max(sum(top_l), 1)) if bucket \
+            else max(sum(top_l), 1)
+        self.pad_edge_labels = bucket_size(max(sum(top_el), 1)) \
+            if bucket else max(sum(top_el), 1)
+        self.pad_ids = bucket_size(max(sum(top_id), 1)) if bucket \
+            else max(sum(top_id), 1)
+
+    def __len__(self):
+        return (len(self.graphs) + self.batch_size - 1) // self.batch_size
+
+    def batches(self, epoch: int = 0) -> List[GraphBatch]:
+        # With a single batch per epoch shuffling cannot change batch
+        # composition; collate once and reuse (keeps host work out of
+        # the epoch loop).
+        static = not self.shuffle or len(self) == 1
+        if static and getattr(self, "_cached", None) is not None:
+            return self._cached
+        order = np.arange(len(self.graphs))
+        if self.shuffle and len(self.graphs) > 1 and not static:
+            order = self.rng.permutation(order)
+        out = []
+        for i in range(0, len(order), self.batch_size):
+            out.append(self._collate([self.graphs[j]
+                                      for j in order[i:i + self.batch_size]]))
+        if static:
+            self._cached = out
+        return out
+
+    def _collate(self, graphs: List[HostGraph]) -> GraphBatch:
+        cfg = self.cfg
+        xs, ss, rs, gids = [], [], [], []
+        node_labels, label_idx, id_idx = [], [], []
+        edge_labels, edge_label_idx, graph_labels = [], [], []
+        offset = 0
+        for gi, g in enumerate(graphs):
+            xs.append(graph_to_arrays(g, cfg))
+            ss.append(g.senders + offset)
+            rs.append(g.receivers + offset)
+            gids.append(np.full(g.num_nodes, gi, np.int32))
+            if "node_label" in g:
+                lab = np.asarray(g["node_label"]).reshape(g.num_nodes, -1)
+                node_labels.append(lab)
+            if "node_label_index" in g:
+                label_idx.append(np.asarray(g["node_label_index"]) + offset)
+            if "node_id_index" in g:
+                id_idx.append(np.asarray(g["node_id_index"]) + offset)
+            if "edge_label" in g and g.get("edge_label") is not None:
+                edge_labels.append(np.asarray(g["edge_label"]).reshape(-1))
+            if "edge_label_index" in g \
+                    and g.get("edge_label_index") is not None:
+                edge_label_idx.append(
+                    np.asarray(g["edge_label_index"]) + offset)
+            if "graph_label" in g:
+                graph_labels.append(
+                    np.asarray(g["graph_label"]).reshape(-1))
+            offset += g.num_nodes
+
+        x = np.concatenate(xs, axis=0)
+        senders = np.concatenate(ss)
+        receivers = np.concatenate(rs)
+        num_graphs = len(graphs) + 1  # + padding graph slot
+
+        kw = {}
+        if node_labels:
+            nl = np.concatenate(node_labels, axis=0)
+            kw["node_label"] = nl.squeeze(-1) if nl.shape[-1] == 1 else nl
+        if label_idx:
+            li = np.concatenate(label_idx)
+        elif cfg.dataset.task == "node":
+            li = np.arange(offset)
+        else:
+            li = None
+        if edge_labels:
+            kw["edge_label"] = _pad1(np.concatenate(edge_labels),
+                                     self.pad_edge_labels, 0)
+        if edge_label_idx:
+            eli = np.concatenate(edge_label_idx, axis=1)
+            pad_node = self.pad_nodes - 1
+            kw["edge_label_index"] = np.stack([
+                _pad1(eli[0], self.pad_edge_labels, pad_node),
+                _pad1(eli[1], self.pad_edge_labels, pad_node)])
+        if graph_labels:
+            kw["graph_label"] = np.concatenate(graph_labels)
+
+        batch = build_graph_batch(
+            senders, receivers, x,
+            graph_ids=np.concatenate(gids),
+            num_graphs=num_graphs,
+            node_label_index=li,
+            node_id_index=(np.concatenate(id_idx) if id_idx else None),
+            pad_nodes_to=self.pad_nodes,
+            pad_edges_to=self.pad_edges,
+            **kw)
+        # re-pad the variable-length index lists to the split-wide bucket
+        if batch.node_label_index is not None:
+            batch = _repad_index(batch, "node_label_index", "label_mask",
+                                 self.pad_labels)
+        if batch.node_id_index is not None:
+            batch = _repad_index(batch, "node_id_index", "id_mask",
+                                 self.pad_ids)
+        return batch
+
+
+def _pad1(x, n, fill):
+    if len(x) >= n:
+        return x[:n]
+    return np.concatenate([x, np.full(n - len(x), fill, dtype=x.dtype)])
+
+
+def _repad_index(batch: GraphBatch, key: str, mask_key: str,
+                 target: int) -> GraphBatch:
+    import jax.numpy as jnp
+    idx = np.asarray(getattr(batch, key))
+    mask = np.asarray(getattr(batch, mask_key))
+    pad_node = batch.num_nodes - 1
+    idx = _pad1(idx, target, pad_node)
+    mask = _pad1(mask, target, False)
+    return batch.replace(**{key: jnp.asarray(idx),
+                            mask_key: jnp.asarray(mask)})
+
+
+def create_loader(splits: List[List[HostGraph]], cfg) -> List[GraphLoader]:
+    """One loader per split; train shuffles (reference create_loader,
+    loader.py:247-260)."""
+    rng = np.random.default_rng(cfg.seed)
+    loaders = [GraphLoader(splits[0], cfg,
+                           batch_size=cfg.train.batch_size, shuffle=True,
+                           rng=rng)]
+    for part in splits[1:]:
+        loaders.append(GraphLoader(part, cfg,
+                                   batch_size=cfg.train.batch_size,
+                                   shuffle=False, rng=rng))
+    return loaders

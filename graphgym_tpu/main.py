@@ -1,0 +1,83 @@
+"""Experiment entry point (reference run/main.py:21-63 + main_zd.py).
+
+Usage:
+    python -m graphgym_tpu.main --cfg configs/example.yaml --repeat 3 \
+        [--mark_done] [gnn.dim_inner 64 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import random
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    """reference cmd_args.py:5-39."""
+    parser = argparse.ArgumentParser(description="graphgym_tpu")
+    parser.add_argument("--cfg", dest="cfg_file", required=True,
+                        help="The configuration file path.")
+    parser.add_argument("--repeat", type=int, default=1,
+                        help="Repeated experiment times.")
+    parser.add_argument("--mark_done", action="store_true",
+                        help="Mark yaml as done after a job finishes.")
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER,
+                        help="See graphgym_tpu/config.py for options")
+    return parser.parse_args(argv)
+
+
+def run_single(cfg, out_dir_parent: str, cfg_file: str):
+    import jax
+
+    from graphgym_tpu.config import dump_cfg, update_out_dir
+    from graphgym_tpu.data.loaders import create_dataset, create_loader
+    from graphgym_tpu.nn.model import build_model
+    from graphgym_tpu.train.logger import create_logger, setup_printing
+    from graphgym_tpu.train.loop import Trainer
+
+    random.seed(cfg.seed)
+    np.random.seed(cfg.seed)
+    update_out_dir(cfg, out_dir_parent, cfg_file)
+    dump_cfg(cfg)
+    setup_printing(cfg.print, cfg.out_dir)
+
+    splits = create_dataset(cfg)
+    loaders = create_loader(splits, cfg)
+    model = build_model(cfg)
+    loggers = create_logger(cfg, len(loaders))
+    trainer = Trainer(model, loaders, cfg,
+                      rng=jax.random.PRNGKey(cfg.seed))
+    logging.info("params: %d", cfg.params)
+    return trainer.run(loggers)
+
+
+def main(argv=None):
+    from graphgym_tpu.config import assert_cfg, load_cfg
+    from graphgym_tpu.exp.agg import agg_runs
+
+    args = parse_args(argv)
+    results = []
+    for i in range(args.repeat):
+        cfg = load_cfg(args.cfg_file, args.opts)
+        cfg.seed = cfg.seed + i
+        assert_cfg(cfg)
+        out_dir_parent = cfg.out_dir
+        results.append(run_single(cfg, out_dir_parent, args.cfg_file))
+    # aggregate across seeds (reference main.py:60-61 agg_runs)
+    try:
+        from graphgym_tpu.config import get_parent_dir
+        agg_runs(get_parent_dir(out_dir_parent, args.cfg_file),
+                 metric="accuracy")
+    except Exception as e:  # aggregation is best-effort
+        logging.warning("agg_runs failed: %s", e)
+    if args.mark_done:
+        os.rename(args.cfg_file, args.cfg_file + "_done")
+    return results
+
+
+if __name__ == "__main__":
+    main()

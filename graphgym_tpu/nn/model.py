@@ -249,7 +249,36 @@ class GNN(nn.Module):
 
 
 def options_from_cfg(cfg) -> GNNOptions:
-    """Snapshot cfg into the static GNNOptions dataclass."""
+    """Snapshot cfg into the static GNNOptions dataclass.
+
+    The Tfg model family (main_zd.py:28-257) is plain conv+relu stacks
+    with a Dense(256)->Dense(C) head — no pre-MP, no BatchNorm wrapper,
+    no post-stage L2 norm — regardless of those cfg flags, so the Tfg
+    path overrides them.
+    """
+    tfg = cfg.gnn.layer_type.startswith("Tfg-")
+    if tfg:
+        return GNNOptions(
+            layer_type=cfg.gnn.layer_type,
+            stage_type="stack",
+            layers_pre_mp=0,
+            layers_mp=cfg.gnn.layers_mp,
+            layers_post_mp=1,
+            dim_inner=cfg.gnn.dim_inner,
+            batchnorm=False,
+            act=cfg.gnn.act,
+            dropout=0.0,
+            att_heads=cfg.gnn.att_heads,
+            l2norm=False,
+            bn_eps=cfg.bn.eps,
+            bn_mom=cfg.bn.mom,
+            task=cfg.dataset.task,
+            graph_pooling=cfg.model.graph_pooling,
+            edge_decoding=cfg.model.edge_decoding,
+            ego=cfg.dataset.transform == "ego",
+            dim_out=cfg.share.dim_out,
+            tfg_head=True,
+        )
     return GNNOptions(
         layer_type=cfg.gnn.layer_type,
         stage_type=cfg.gnn.stage_type,
@@ -275,7 +304,7 @@ def options_from_cfg(cfg) -> GNNOptions:
         edge_decoding=cfg.model.edge_decoding,
         ego=cfg.dataset.transform == "ego",
         dim_out=cfg.share.dim_out,
-        tfg_head=cfg.gnn.layer_type.startswith("Tfg-"),
+        tfg_head=False,
     )
 
 

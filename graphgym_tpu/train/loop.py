@@ -1,0 +1,204 @@
+"""Training loop: jit-compiled train/eval steps + epoch driver.
+
+The TPU-native replacement for the reference's epoch loops
+(graphgym/train.py:15-155, train_pyg.py:11-77): instead of per-batch
+host round-trips, the full forward/loss/backward/update is one donated
+jit program per (static) batch shape; the epoch driver moves only
+scalar metrics and predictions for logging back to the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from graphgym_tpu.train import checkpoint as ckpt
+from graphgym_tpu.train.logger import Logger
+from graphgym_tpu.train.loss import LossOptions, compute_loss, kernel_l2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_state(model, rng, example_batch, optimizer) -> TrainState:
+    variables = model.init(rng, example_batch, False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=optimizer.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def count_params(params) -> int:
+    return int(sum(np.prod(p.shape)
+                   for p in jax.tree_util.tree_leaves(params)))
+
+
+def make_train_step(model, optimizer, loss_opts: LossOptions,
+                    donate: bool = True):
+    def step_fn(state: TrainState, batch, rng):
+        def loss_fn(params):
+            variables = {"params": params,
+                         "batch_stats": state.batch_stats}
+            (pred, label, mask), mutated = model.apply(
+                variables, batch, True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            loss, score = compute_loss(pred, label, mask, loss_opts)
+            loss = loss + kernel_l2(params, loss_opts.l2_kernel)
+            return loss, (score, label, mask,
+                          mutated.get("batch_stats", {}))
+
+        (loss, (score, label, mask, new_bs)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, batch_stats=new_bs,
+                               opt_state=new_opt, step=state.step + 1)
+        return new_state, loss, score, label, mask
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, loss_opts: LossOptions):
+    def step_fn(state: TrainState, batch):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        pred, label, mask = model.apply(variables, batch, False)
+        loss, score = compute_loss(pred, label, mask, loss_opts)
+        return loss, score, label, mask
+
+    return jax.jit(step_fn)
+
+
+def _to_host(score, label, mask):
+    score = np.asarray(score)
+    label = np.asarray(label)
+    if mask is None:
+        return label, score
+    mask = np.asarray(mask).astype(bool)
+    return label[mask], score[mask]
+
+
+def masked_accuracy(score: np.ndarray, label: np.ndarray) -> float:
+    pred = score.argmax(-1) if score.ndim > 1 else (score > 0.5)
+    return float((pred == label).mean()) if len(label) else 0.0
+
+
+class Trainer:
+    """Epoch driver (reference train(), train.py:116-154)."""
+
+    def __init__(self, model, loaders, cfg, *, loss_opts=None,
+                 rng: Optional[jax.Array] = None):
+        from graphgym_tpu.train.optim import create_optimizer
+
+        self.model = model
+        self.loaders = loaders
+        self.cfg = cfg
+        tfg = cfg.gnn.layer_type.startswith("Tfg-")
+        self.loss_opts = loss_opts or LossOptions(
+            loss_fun=cfg.model.loss_fun,
+            size_average=cfg.model.size_average,
+            l2_kernel=5e-4 if tfg else 0.0,
+            thresh=cfg.model.thresh)
+        steps_per_epoch = max(len(loaders[0]), 1)
+        self.optimizer = create_optimizer(cfg.optim, steps_per_epoch,
+                                          use_loss_l2=tfg)
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        example = loaders[0].batches(0)[0]
+        self.state = init_state(model, init_rng, example, self.optimizer)
+        cfg.params = count_params(self.state.params)
+        self.train_step = make_train_step(
+            model, self.optimizer, self.loss_opts,
+            donate=cfg.tpu.donate_state)
+        self.eval_step = make_eval_step(model, self.loss_opts)
+
+    # ------------------------------------------------------------ epochs
+    def train_epoch(self, logger: Logger, epoch: int):
+        t0 = time.time()
+        for batch in self.loaders[0].batches(epoch):
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, loss, score, label, mask = self.train_step(
+                self.state, batch, step_rng)
+            label_h, score_h = _to_host(score, label, mask)
+            logger.update_stats(
+                true=label_h, pred=score_h, loss=float(loss),
+                lr=self.cfg.optim.base_lr,
+                time_used=time.time() - t0, params=self.cfg.params)
+            t0 = time.time()
+
+    def eval_epoch(self, logger: Optional[Logger], split: int) -> float:
+        accs, losses, counts = [], [], []
+        t0 = time.time()
+        for batch in self.loaders[split].batches(0):
+            loss, score, label, mask = self.eval_step(self.state, batch)
+            label_h, score_h = _to_host(score, label, mask)
+            accs.append(masked_accuracy(score_h, label_h))
+            counts.append(len(label_h))
+            losses.append(float(loss))
+            if logger is not None:
+                logger.update_stats(
+                    true=label_h, pred=score_h, loss=float(loss), lr=0,
+                    time_used=time.time() - t0, params=self.cfg.params)
+                t0 = time.time()
+        # reference eval_epoch_Tfg averages per-batch accuracies
+        # (train.py:107); we weight by size for correctness
+        total = max(sum(counts), 1)
+        return float(sum(a * c for a, c in zip(accs, counts)) / total)
+
+    def run(self, loggers: Optional[List[Logger]] = None) -> Dict:
+        cfg = self.cfg
+        start_epoch = 0
+        if cfg.train.auto_resume:
+            self.state, start_epoch = ckpt.load_ckpt(
+                self.state, cfg.out_dir, cfg.train.epoch_resume)
+        if start_epoch == cfg.optim.max_epoch:
+            logging.info("Checkpoint found, Task already done")
+        else:
+            logging.info("Start from epoch %d", start_epoch)
+
+        val_curve: List[Tuple[int, float]] = []
+        num_splits = len(self.loaders)
+        for epoch in range(start_epoch, cfg.optim.max_epoch):
+            self.train_epoch(loggers[0] if loggers else Logger("train"),
+                             epoch)
+            if loggers:
+                loggers[0].write_epoch(epoch)
+            if ckpt.is_eval_epoch(epoch, cfg.train.eval_period,
+                                  cfg.optim.max_epoch):
+                accs = []
+                for i in range(1, num_splits):
+                    acc = self.eval_epoch(
+                        loggers[i] if loggers else None, i)
+                    accs.append(acc)
+                    if loggers:
+                        loggers[i].write_epoch(epoch)
+                if accs:
+                    val_curve.append((epoch, float(np.mean(accs))))
+                    logging.info("epoch %d, acc:%s", epoch,
+                                 round(float(np.mean(accs)), 4))
+            if ckpt.is_ckpt_epoch(epoch, cfg.train.ckpt_period,
+                                  cfg.optim.max_epoch):
+                ckpt.save_ckpt(self.state, cfg.out_dir, epoch)
+        if cfg.train.ckpt_clean:
+            ckpt.clean_ckpt(cfg.out_dir)
+        best = max(val_curve, key=lambda t: t[1]) if val_curve else (0, 0.0)
+        logging.info(
+            "Task done, results saved in %s; best val acc %.4f @ epoch %d",
+            cfg.out_dir, best[1], best[0])
+        return {"val_curve": val_curve, "best_epoch": best[0],
+                "best_val_acc": best[1]}
