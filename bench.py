@@ -1,0 +1,84 @@
+"""Benchmark harness: SpMM fwd+bwd throughput (edges/s/chip).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The reference publishes no throughput numbers (BASELINE.md) — the
+baseline constant below is this framework's round-1 XLA-path measurement
+on one TPU v5e-lite chip, so vs_baseline tracks our own improvement
+across rounds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+# Round-1 XLA segment-sum SpMM fwd+bwd on 1x TPU v5e lite (set after the
+# first on-TPU run; see BENCH_r1.json).
+BASELINE_EDGES_PER_S = 5.0e9
+
+
+def make_graph(num_nodes: int, num_edges: int, dim: int, seed: int = 0):
+    """Power-law-ish synthetic graph: receiver choice bi-ased to low ids."""
+    rng = np.random.default_rng(seed)
+    # Zipf-flavored endpoints via squaring uniforms (hub structure)
+    senders = (rng.random(num_edges) ** 2 * num_nodes).astype(np.int32)
+    receivers = (rng.random(num_edges) ** 2 * num_nodes).astype(np.int32)
+    senders = np.minimum(senders, num_nodes - 1)
+    receivers = np.minimum(receivers, num_nodes - 1)
+    x = rng.normal(size=(num_nodes, dim)).astype(np.float32)
+    w = rng.random(num_edges).astype(np.float32)
+    return senders, receivers, w, x
+
+
+def bench_spmm(num_nodes=131072, num_edges=2_000_000, dim=128,
+               iters=20, impl="xla"):
+    import jax
+    import jax.numpy as jnp
+
+    from graphgym_tpu.ops import sparse as sp
+
+    s, r, w, x = make_graph(num_nodes, num_edges, dim)
+    s, r, w, x = map(jnp.asarray, (s, r, w, x))
+
+    def loss(x_, w_):
+        out = sp.spmm(s, r, w_, x_, num_nodes, implementation=impl)
+        return jnp.sum(out * out)
+
+    step = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    # warmup/compile
+    gx, gw = step(x, w)
+    jax.block_until_ready((gx, gw))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        gx, gw = step(x, w)
+    jax.block_until_ready((gx, gw))
+    dt = time.perf_counter() - t0
+    return num_edges * iters / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--nodes", type=int, default=131072)
+    p.add_argument("--edges", type=int, default=2_000_000)
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--impl", default="xla", choices=["xla", "pallas"])
+    args = p.parse_args()
+
+    edges_per_s = bench_spmm(args.nodes, args.edges, args.dim,
+                             args.iters, args.impl)
+    print(json.dumps({
+        "metric": "spmm_fwd_bwd_edges_per_s_per_chip",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
