@@ -17,9 +17,11 @@ import time
 
 import numpy as np
 
-# Round-1 XLA segment-sum SpMM fwd+bwd on 1x TPU v5e lite (set after the
-# first on-TPU run; see BENCH_r1.json).
-BASELINE_EDGES_PER_S = 5.0e9
+# Baseline: the naive XLA segment-sum SpMM fwd+bwd measured on
+# 1x TPU v5e lite in round 1 (27.4M edges/s at N=131072, E=2M, D=128) —
+# the framework's own starting point, since the reference publishes no
+# throughput numbers (BASELINE.md).
+BASELINE_EDGES_PER_S = 27.4e6
 
 
 def make_graph(num_nodes: int, num_edges: int, dim: int, seed: int = 0):
@@ -40,9 +42,28 @@ def bench_spmm(num_nodes=131072, num_edges=2_000_000, dim=128,
     import jax
     import jax.numpy as jnp
 
+    s, r, w, x = make_graph(num_nodes, num_edges, dim)
+
+    if impl == "pallas":
+        from graphgym_tpu.ops.pallas import spmm_kernel as K
+        pack = K.pack_bidir(s, r, w, num_nodes)
+        xj = jnp.asarray(x)
+
+        def loss(x_):
+            out = K.spmm_bidir(pack, x_, num_nodes)
+            return jnp.sum(out * out)
+
+        step = jax.jit(jax.grad(loss))
+        gx = step(xj)
+        jax.block_until_ready(gx)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            gx = step(xj)
+        jax.block_until_ready(gx)
+        return num_edges * iters / (time.perf_counter() - t0)
+
     from graphgym_tpu.ops import sparse as sp
 
-    s, r, w, x = make_graph(num_nodes, num_edges, dim)
     s, r, w, x = map(jnp.asarray, (s, r, w, x))
 
     def loss(x_, w_):
@@ -67,7 +88,7 @@ def main():
     p.add_argument("--edges", type=int, default=2_000_000)
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--impl", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
     args = p.parse_args()
 
     edges_per_s = bench_spmm(args.nodes, args.edges, args.dim,

@@ -1,0 +1,267 @@
+"""Pallas TPU SpMM: scatter-free segmented reduction via packed chunks.
+
+Why: XLA lowers COO scatter-add (jax.ops.segment_sum) to a serialized
+scatter on TPU — measured 53M edges/s fwd (83M with sorted indices) at
+D=128 on v5e, a few percent of HBM speed-of-light.  This formulation
+removes every scatter and every unaligned memory access:
+
+  * Host-side (once per graph, ``pack_csr``): edges are sorted by
+    receiver and packed into fixed-size chunks of C edges.  Each chunk
+    owns one R-row-aligned output tile (tile t covers rows
+    [t*R, (t+1)*R)); dense tiles span several chunks, sparse tiles get
+    one padded chunk.  Padding edges carry weight 0 and point at row 0
+    of the tile.
+  * Device-side: the per-edge messages x[senders]*w are one XLA gather
+    (the only random-access pass), reshaped to [NC, C, D].  The kernel
+    runs a sequential grid over chunks; the output BlockSpec maps chunk
+    i to row tile tiles[i], so consecutive chunks of the same tile
+    accumulate in VMEM (the K-loop matmul pattern) and each tile is
+    written back exactly once.  The segmented reduction itself is
+    onehot[C, R]^T @ msg[C, D] on the MXU — no scatter, no dynamic DMA.
+
+Cost at (C=512, R=256, D=128): 16.8 MFLOP per chunk, ~E/C chunks -> the
+MXU does ~C*R/ (C) = R flops per edge-element, well under the HBM time
+to stream the messages, so the kernel is gather/bandwidth-bound as it
+should be.
+
+Reference counterpart: tf unsorted_segment_sum inside SparseAdj.matmul
+(reference sparse_adj.py:91-97).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS_PER_TILE = 256     # R: output rows per tile
+EDGES_PER_CHUNK = 512   # C: edges per chunk
+
+
+class PackedCSR(NamedTuple):
+    """Chunked, receiver-sorted edge layout (host-built, device arrays).
+
+    senders    [NC, C] int32 — gather indices (padding -> num_nodes slot)
+    weights    [NC, C] f32   — edge weights (0 on padding)
+    local_rows [NC, C] int32 — receiver row within the chunk's tile
+    tiles      [NC]    int32 — output tile index of each chunk (ascending)
+    num_tiles  int           — ceil(num_nodes / R)
+    """
+    senders: jnp.ndarray
+    weights: jnp.ndarray
+    local_rows: jnp.ndarray
+    tiles: jnp.ndarray
+    num_tiles: int
+
+
+def pack_csr(senders: np.ndarray, receivers: np.ndarray,
+             weights: Optional[np.ndarray], num_nodes: int,
+             pad_chunks_to: Optional[int] = None,
+             rows_per_tile: int = ROWS_PER_TILE,
+             edges_per_chunk: int = EDGES_PER_CHUNK) -> PackedCSR:
+    """Host-side packing (numpy).  Deterministic: edges sorted by
+    (receiver, original order), so partial sums accumulate in a fixed
+    order — reproducible across runs and shardings."""
+    R, C = rows_per_tile, edges_per_chunk
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    e = len(senders)
+    if weights is None:
+        weights = np.ones(e, np.float32)
+    weights = np.asarray(weights, np.float32)
+
+    order = np.argsort(receivers, kind="stable")
+    s_s, r_s, w_s = senders[order], receivers[order], weights[order]
+    tile_of_edge = r_s // R
+
+    num_tiles = (num_nodes + R - 1) // R
+    # edges per tile
+    tile_counts = np.bincount(tile_of_edge, minlength=num_tiles)
+    chunks_per_tile = np.maximum((tile_counts + C - 1) // C, 1)
+    nc = int(chunks_per_tile.sum())
+
+    out_s = np.full((nc, C), num_nodes, np.int32)   # pad -> padding row
+    out_w = np.zeros((nc, C), np.float32)
+    out_l = np.zeros((nc, C), np.int32)
+    out_t = np.zeros(nc, np.int32)
+
+    chunk_start = np.concatenate([[0], np.cumsum(chunks_per_tile)])
+    edge_start = np.concatenate([[0], np.cumsum(tile_counts)])
+    for t in range(num_tiles):
+        lo, hi = edge_start[t], edge_start[t + 1]
+        base_chunk = chunk_start[t]
+        n_chunks = chunks_per_tile[t]
+        out_t[base_chunk:base_chunk + n_chunks] = t
+        for k in range(n_chunks):
+            a = lo + k * C
+            b = min(a + C, hi)
+            if a >= b:
+                continue
+            m = b - a
+            ci = base_chunk + k
+            out_s[ci, :m] = s_s[a:b]
+            out_w[ci, :m] = w_s[a:b]
+            out_l[ci, :m] = (r_s[a:b] - t * R).astype(np.int32)
+    if pad_chunks_to is not None and pad_chunks_to > nc:
+        extra = pad_chunks_to - nc
+        out_s = np.concatenate(
+            [out_s, np.full((extra, C), num_nodes, np.int32)])
+        out_w = np.concatenate([out_w, np.zeros((extra, C), np.float32)])
+        out_l = np.concatenate([out_l, np.zeros((extra, C), np.int32)])
+        # padding chunks re-target the last tile with zero weight
+        out_t = np.concatenate(
+            [out_t, np.full(extra, num_tiles - 1, np.int32)])
+    return PackedCSR(jnp.asarray(out_s), jnp.asarray(out_w),
+                     jnp.asarray(out_l), jnp.asarray(out_t),
+                     num_tiles)
+
+
+def _kernel(tiles_ref, local_ref, msg_ref, out_ref, acc_ref):
+    """One chunk per grid step: acc += onehot^T @ msg; flush on last
+    chunk of each tile (pallas writes out_ref back when the out block
+    index changes)."""
+    i = pl.program_id(0)
+    nc = pl.num_programs(0)
+    first = jnp.logical_or(i == 0, tiles_ref[i] != tiles_ref[i - 1])
+    last = jnp.logical_or(i == nc - 1, tiles_ref[i] != tiles_ref[i + 1])
+
+    @pl.when(first)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    local = local_ref[0]                        # [1, C, 1] -> [C, 1]
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, (EDGES_PER_CHUNK, ROWS_PER_TILE), 1)
+    onehot = jnp.where(local == cols, 1.0, 0.0)
+    # The MXU's DEFAULT f32 path rounds operands through bfloat16
+    # (observed ~1e-2 relative error on sums) and Mosaic only offers
+    # DEFAULT or 6-pass HIGHEST.  The one-hot side is exact in bf16
+    # (entries 0/1), so splitting msg into hi/lo bf16 planes and doing
+    # two DEFAULT passes recovers f32 fidelity at 1/3 the HIGHEST cost.
+    msg = msg_ref[0]
+    hi = msg.astype(jnp.bfloat16)
+    lo = (msg - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((0,), (0,)), ((), ()))
+    acc_ref[...] += (
+        jax.lax.dot_general(onehot.astype(jnp.bfloat16), hi, dn,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(onehot.astype(jnp.bfloat16), lo, dn,
+                              preferred_element_type=jnp.float32))
+
+    @pl.when(last)
+    def _():
+        out_ref[...] = acc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("num_tiles", "interpret"))
+def packed_segment_matmul(msg: jnp.ndarray, local_rows: jnp.ndarray,
+                          tiles: jnp.ndarray, num_tiles: int,
+                          interpret: bool = False) -> jnp.ndarray:
+    """out[t*R + j] = sum over chunks i with tiles[i]==t of
+    onehot(local_rows[i])^T @ msg[i]."""
+    nc, c, d = msg.shape
+    R = ROWS_PER_TILE
+    # guard the tiles[i+1] / tiles[i-1] neighbor reads at the ends
+    tiles = jnp.concatenate([tiles, tiles[-1:]])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            # [NC, C, 1]: lane dim 1 == array dim (Mosaic block rule)
+            pl.BlockSpec((1, c, 1), lambda i, tiles: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, d), lambda i, tiles: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, d), lambda i, tiles: (tiles[i], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((R, d), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles * R, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(tiles, local_rows[..., None], msg)
+
+
+def spmm_packed(pack: PackedCSR, x: jnp.ndarray, num_nodes: int,
+                interpret: bool = False) -> jnp.ndarray:
+    """Forward SpMM from a packed layout.  x must have a padding row at
+    index num_nodes (GraphBatch guarantees one)."""
+    if x.shape[0] == num_nodes:
+        x = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
+    msg = jnp.take(x, pack.senders.reshape(-1), axis=0)
+    msg = msg.reshape(pack.senders.shape + (x.shape[1],))
+    msg = msg * pack.weights[..., None]
+    out = packed_segment_matmul(msg, pack.local_rows, pack.tiles,
+                                pack.num_tiles, interpret=interpret)
+    return out[:num_nodes]
+
+
+# --------------------------------------------------------------------------
+# Differentiable COO-style API over precomputed fwd/bwd packs
+# --------------------------------------------------------------------------
+
+class BidirPack(NamedTuple):
+    """Forward (A) + transpose (A^T) packed layouts, plus the original
+    COO indices for the edge-weight gradient (SDDMM)."""
+    fwd: PackedCSR
+    bwd: PackedCSR
+    senders: jnp.ndarray
+    receivers: jnp.ndarray
+
+
+def pack_bidir(senders: np.ndarray, receivers: np.ndarray,
+               weights: Optional[np.ndarray], num_nodes: int
+               ) -> BidirPack:
+    fwd = pack_csr(senders, receivers, weights, num_nodes)
+    bwd = pack_csr(receivers, senders, weights, num_nodes)
+    return BidirPack(fwd, bwd, jnp.asarray(np.asarray(senders, np.int32)),
+                     jnp.asarray(np.asarray(receivers, np.int32)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2))
+def spmm_bidir(pack: BidirPack, x: jnp.ndarray, num_nodes: int):
+    """Differentiable SpMM (wrt x): out = A @ x via the packed kernel,
+    d/dx = A^T @ g via the transpose pack.  The weights baked into the
+    packs are treated as constants; layers that differentiate wrt
+    per-edge weights (attention) use the weight-outside formulation:
+    spmm(alpha * msg) with alpha from segment_softmax in XLA."""
+    return spmm_packed(pack.fwd, x, num_nodes)
+
+
+def _spmm_fwd_rule(pack, x, num_nodes):
+    return spmm_packed(pack.fwd, x, num_nodes), None
+
+
+def _spmm_bwd_rule(pack, num_nodes, _, g):
+    return (spmm_packed(pack.bwd, g, num_nodes),)
+
+
+spmm_bidir.defvjp(_spmm_fwd_rule, _spmm_bwd_rule)
+
+
+def sddmm_edge_grad(pack: BidirPack, x: jnp.ndarray,
+                    g: jnp.ndarray) -> jnp.ndarray:
+    """dL/dw[e] = <g[receivers[e]], x[senders[e]]> — the edge-weight
+    gradient companion (one SDDMM pass)."""
+    return jnp.sum(jnp.take(g, pack.receivers, axis=0) *
+                   jnp.take(x, pack.senders, axis=0), axis=-1)
+
+
+def spmm_pallas(senders, receivers, edge_weight, x, num_nodes,
+                interpret: bool = False):
+    """COO-compatible entry (packs on host — only usable outside jit;
+    jitted paths should carry PackedCSR in the batch)."""
+    pack = pack_csr(np.asarray(senders), np.asarray(receivers),
+                    None if edge_weight is None
+                    else np.asarray(edge_weight), num_nodes)
+    return spmm_packed(pack, x, num_nodes, interpret=interpret)

@@ -1,0 +1,104 @@
+"""Pallas SpMM kernel tests (interpret mode on CPU; the same code paths
+run compiled on TPU — validated on hardware, see bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from graphgym_tpu.ops.pallas import spmm_kernel as K
+
+
+def coo_oracle(s, r, w, x, n):
+    out = np.zeros((n, x.shape[1]), np.float32)
+    np.add.at(out, r, x[s] * w[:, None])
+    return out
+
+
+def rand_coo(n, e, d, seed=0):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, n, size=e).astype(np.int32)
+    r = rng.integers(0, n, size=e).astype(np.int32)
+    w = rng.random(e).astype(np.float32)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    return s, r, w, x
+
+
+class TestPack:
+    def test_pack_covers_all_edges(self):
+        s, r, w, x = rand_coo(1000, 5000, 8)
+        pack = K.pack_csr(s, r, w, 1000)
+        # every real edge appears exactly once (match by weight sum)
+        np.testing.assert_allclose(float(np.asarray(pack.weights).sum()),
+                                   float(w.sum()), rtol=1e-5)
+        # local rows within tile bounds
+        assert int(np.asarray(pack.local_rows).max()) < K.ROWS_PER_TILE
+        # tiles ascending
+        t = np.asarray(pack.tiles)
+        assert np.all(np.diff(t) >= 0)
+
+    def test_pack_pad_chunks(self):
+        s, r, w, x = rand_coo(100, 500, 8)
+        pack = K.pack_csr(s, r, w, 100, pad_chunks_to=16)
+        assert pack.senders.shape[0] == 16
+
+    def test_empty_tile_gets_padding_chunk(self):
+        # all edges into rows [0, 10): tiles beyond 0 are empty but must
+        # still emit a chunk so every output tile is written
+        s = np.zeros(50, np.int32)
+        r = np.arange(50, dtype=np.int32) % 10
+        pack = K.pack_csr(s, r, None, 1000)
+        num_tiles = (1000 + K.ROWS_PER_TILE - 1) // K.ROWS_PER_TILE
+        assert set(np.asarray(pack.tiles).tolist()) == set(
+            range(num_tiles))
+
+
+class TestKernelInterpret:
+    @pytest.mark.parametrize("n,e", [(1000, 5000), (257, 4096),
+                                     (64, 100)])
+    def test_matches_oracle(self, n, e):
+        s, r, w, x = rand_coo(n, e, 128)
+        ref = coo_oracle(s, r, w, x, n)
+        out = K.spmm_pallas(s, r, w, jnp.asarray(x), n, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3,
+                                   atol=1e-3)
+
+    def test_hot_row(self):
+        s, r, w, x = rand_coo(1000, 5000, 128)
+        r[:] = 7
+        ref = coo_oracle(s, r, w, x, 1000)
+        out = K.spmm_pallas(s, r, w, jnp.asarray(x), 1000,
+                            interpret=True)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3,
+                                   atol=2e-2)
+
+    def test_bidir_grad_matches_dense(self):
+        n, e, d = 200, 1000, 128
+        s, r, w, x = rand_coo(n, e, d)
+        pack = K.pack_bidir(s, r, w, n)
+
+        def loss(x_):
+            return jnp.sum(K.spmm_bidir(pack, x_, n) ** 2)
+
+        # interpret path for CPU: swap kernels via monkeypatch-free
+        # route — spmm_packed(interpret=True) on fwd and bwd manually
+        fwd = K.spmm_packed(pack.fwd, jnp.asarray(x), n, interpret=True)
+        g = 2 * np.asarray(fwd)
+        dx = K.spmm_packed(pack.bwd, jnp.asarray(g), n, interpret=True)
+        A = np.zeros((n, n), np.float32)
+        np.add.at(A, (r, s), w)
+        dref = 2 * A.T @ (A @ x)
+        np.testing.assert_allclose(np.asarray(dx), dref, rtol=1e-3,
+                                   atol=1e-3)
+
+    def test_sddmm_edge_grad(self):
+        n, e, d = 100, 400, 16
+        s, r, w, x = rand_coo(n, e, d)
+        g = np.random.default_rng(1).normal(size=(n, d)).astype(
+            np.float32)
+        pack = K.pack_bidir(s, r, w, n)
+        dw = K.sddmm_edge_grad(pack, jnp.asarray(x), jnp.asarray(g))
+        ref = np.sum(g[r] * x[s], axis=-1)
+        np.testing.assert_allclose(np.asarray(dw), ref, rtol=1e-4,
+                                   atol=1e-4)
