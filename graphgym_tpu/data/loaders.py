@@ -579,13 +579,63 @@ def _repad_index(batch: GraphBatch, key: str, mask_key: str,
                             mask_key: jnp.asarray(mask)})
 
 
+class SamplerLoader(GraphLoader):
+    """Train loader drawing fresh sampled subgraphs each epoch
+    (reference get_loader, loader_pyg.py:204-255).  Padding buckets are
+    sized from an initial draw with 2x slack; oversized draws are
+    re-bucketed (one extra compile)."""
+
+    def __init__(self, graphs, cfg, *, batch_size, rng=None):
+        self.base_graphs = list(graphs)
+        self.sample_rng = rng or np.random.default_rng(cfg.seed)
+        first = self._draw(0)
+        super().__init__(first, cfg, batch_size=batch_size,
+                         shuffle=False, rng=self.sample_rng)
+        # slack so later draws rarely exceed the bucket
+        from graphgym_tpu.graphs.container import bucket_size
+        self.pad_nodes = bucket_size(self.pad_nodes * 2)
+        self.pad_edges = bucket_size(self.pad_edges * 2)
+        self.pad_labels = bucket_size(self.pad_labels * 2)
+
+    def _draw(self, epoch: int):
+        from graphgym_tpu.data.samplers import make_sampled_graphs
+        out = []
+        for g in self.base_graphs:
+            out.extend(make_sampled_graphs(g, self.cfg, self.sample_rng))
+        return out
+
+    def batches(self, epoch: int = 0):
+        self.graphs = self._draw(epoch)
+        # grow buckets if a draw exceeds them (triggers recompile once)
+        for g in self.graphs:
+            if g.num_nodes + 1 > self.pad_nodes or \
+                    g.num_edges > self.pad_edges:
+                from graphgym_tpu.graphs.container import bucket_size
+                self.pad_nodes = bucket_size(
+                    max(self.pad_nodes, g.num_nodes + 1))
+                self.pad_edges = bucket_size(
+                    max(self.pad_edges, g.num_edges))
+                self.pad_labels = max(self.pad_labels, self.pad_nodes)
+        out = []
+        for i in range(0, len(self.graphs), self.batch_size):
+            out.append(self._collate(
+                self.graphs[i:i + self.batch_size]))
+        return out
+
+
 def create_loader(splits: List[List[HostGraph]], cfg) -> List[GraphLoader]:
-    """One loader per split; train shuffles (reference create_loader,
-    loader.py:247-260)."""
+    """One loader per split; train shuffles; non-full-batch samplers
+    draw fresh subgraphs per epoch (reference create_loader,
+    loader.py:247-260 + loader_pyg.py:258-285)."""
     rng = np.random.default_rng(cfg.seed)
-    loaders = [GraphLoader(splits[0], cfg,
-                           batch_size=cfg.train.batch_size, shuffle=True,
-                           rng=rng)]
+    if cfg.train.sampler != "full_batch":
+        loaders = [SamplerLoader(splits[0], cfg,
+                                 batch_size=cfg.train.batch_size,
+                                 rng=rng)]
+    else:
+        loaders = [GraphLoader(splits[0], cfg,
+                               batch_size=cfg.train.batch_size,
+                               shuffle=True, rng=rng)]
     for part in splits[1:]:
         loaders.append(GraphLoader(part, cfg,
                                    batch_size=cfg.train.batch_size,

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from graphgym_tpu import register
 from graphgym_tpu.graphs.container import GraphBatch
+from graphgym_tpu.nn import att_layers as att
 from graphgym_tpu.nn import id_layers as idl
 from graphgym_tpu.nn import layers as L
 from graphgym_tpu.nn.act import act_dict
@@ -64,6 +65,26 @@ def make_conv(name: str, dim_out: int, gnn_cfg, use_bias: bool) -> nn.Module:
         "sageidconv": lambda: idl.SAGEIDConv(**common, concat_self=True),
         "gatidconv": lambda: idl.GATIDConv(**common, heads=heads),
         "ginidconv": lambda: idl.GINIDConv(dim_out),
+        # ---- contrib attention family (attconv.py:538-543 names)
+        "gaddconv": lambda: att.GeneralAddAttConv(**common, heads=heads),
+        "gmulconv": lambda: att.GeneralMulAttConv(**common, heads=heads),
+        "generaledgeattconvv1": lambda: att.GeneralEdgeAttConv(
+            **common, heads=heads, msg_direction=gnn_cfg.msg_direction,
+            final_linear=gnn_cfg.att_final_linear,
+            final_linear_bn=gnn_cfg.att_final_linear_bn, version=1),
+        "generaledgeattconvv2": lambda: att.GeneralEdgeAttConv(
+            **common, heads=heads, msg_direction=gnn_cfg.msg_direction,
+            final_linear=gnn_cfg.att_final_linear,
+            final_linear_bn=gnn_cfg.att_final_linear_bn, version=2),
+        "generalconv_v2": lambda: att.GeneralConvV2(
+            **common, agg=gnn_cfg.agg, self_msg=gnn_cfg.self_msg,
+            normalize_adj=gnn_cfg.normalize_adj, flow=gnn_cfg.flow),
+        "sageinitconv": lambda: att.SAGEInitConv(dim_out),
+        "generalogbconv": lambda: att.GeneralOGBConv(
+            **common, agg=gnn_cfg.agg, self_msg=gnn_cfg.self_msg,
+            normalize_adj=gnn_cfg.normalize_adj),
+        "exampleconv1": lambda: att.ExampleConv(dim_out),
+        "exampleconv2": lambda: att.ExampleConv(dim_out, use_bias=False),
         # ---- tfg path layer types (main_zd.py:299-308, 'Tfg-' prefix)
         "Tfg-gcnconv": lambda: L.GCNConv(dim_out, use_bias=True),
         "Tfg-sageconv": lambda: L.SAGEConv(dim_out, use_bias=True,
@@ -111,6 +132,11 @@ class GNNOptions:
     ego: bool = False
     dim_out: int = 2
     tfg_head: bool = False
+    node_encoder: str = ""         # '' = none; else encoder name
+    node_encoder_bn: bool = True
+    edge_encoder: str = ""
+    edge_encoder_bn: bool = True
+    encoder_dim: int = 128
 
 
 def _gnn_layer(opts: GNNOptions, dim_out: int, has_act: bool = True):
@@ -210,7 +236,30 @@ class GNN(nn.Module):
 
     @nn.compact
     def __call__(self, graph: GraphBatch, train: bool = False) -> HeadOut:
+        from graphgym_tpu.nn import encoders as enc
+        from graphgym_tpu.nn.norm import MaskedBatchNorm
+
         opts = self.opts
+        if opts.node_encoder:
+            table = {**enc.node_encoder_dict,
+                     **register.node_encoder_dict}
+            graph = table[opts.node_encoder](opts.encoder_dim,
+                                             name="node_encoder")(
+                graph, train)
+            if opts.node_encoder_bn:
+                graph = graph.replace(node_feat=MaskedBatchNorm(
+                    opts.encoder_dim, name="node_encoder_bn")(
+                    graph.node_feat, graph.node_mask, train))
+        if opts.edge_encoder:
+            table = {**enc.edge_encoder_dict,
+                     **register.edge_encoder_dict}
+            graph = table[opts.edge_encoder](opts.encoder_dim,
+                                             name="edge_encoder")(
+                graph, train)
+            if opts.edge_encoder_bn:
+                graph = graph.replace(edge_feat=MaskedBatchNorm(
+                    opts.encoder_dim, name="edge_encoder_bn")(
+                    graph.edge_feat, graph.edge_mask, train))
         if opts.layers_pre_mp > 0:
             graph = L.MLP(opts.dim_inner,
                           num_layers=opts.layers_pre_mp + 1,
@@ -305,11 +354,38 @@ def options_from_cfg(cfg) -> GNNOptions:
         ego=cfg.dataset.transform == "ego",
         dim_out=cfg.share.dim_out,
         tfg_head=False,
+        node_encoder=(cfg.dataset.node_encoder_name
+                      if cfg.dataset.node_encoder else ""),
+        node_encoder_bn=cfg.dataset.node_encoder_bn,
+        edge_encoder=(cfg.dataset.edge_encoder_name
+                      if cfg.dataset.edge_encoder else ""),
+        edge_encoder_bn=cfg.dataset.edge_encoder_bn,
+        encoder_dim=cfg.dataset.encoder_dim,
     )
 
 
-def build_model(cfg) -> GNN:
+class TfgAPPNPNet(nn.Module):
+    """The Tfg APPNP model (reference main_zd.py:245-257): one APPNP
+    block [64, num_labels] with alpha=0.1, K=10, logits gathered at the
+    supervised nodes — no MLP head."""
+    opts: GNNOptions
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, train: bool = False) -> HeadOut:
+        graph = att.APPNP(dims=(64, self.opts.dim_out), alpha=0.1,
+                          num_iterations=10)(graph, train)
+        idx = graph.node_label_index
+        if idx is None:
+            return graph.node_feat, graph.node_label, graph.node_mask
+        pred = jnp.take(graph.node_feat, idx, axis=0)
+        label = jnp.take(graph.node_label, idx, axis=0)
+        return pred, label, graph.label_mask
+
+
+def build_model(cfg) -> nn.Module:
     """create_model equivalent (reference model_builder.py:15)."""
     if cfg.model.type in register.network_dict:
         return register.network_dict[cfg.model.type](options_from_cfg(cfg))
+    if cfg.gnn.layer_type == "Tfg-appnp":
+        return TfgAPPNPNet(options_from_cfg(cfg))
     return GNN(options_from_cfg(cfg))

@@ -1,0 +1,159 @@
+"""Accuracy parity runner: train on the reference's own experiment
+configs and compare best-val accuracy against its published artifacts.
+
+Reads config YAMLs from the read-only reference checkout (they are
+inputs, not code) and the per-config results in
+results/val/final/<model>_<dataset>_avg_acc.txt (written by the
+reference's main_zd.py:326-328).  Writes PARITY.md + parity.json.
+
+Usage:
+  python tools/run_parity.py --models idgcn gcnconv --datasets ws ba \
+      --repeat 1 [--epochs 1000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+REF = os.environ.get("GRAPHGYM_REFERENCE", "/root/reference")
+
+# model key -> (reference config dir prefix, results-file prefix)
+MODELS = {
+    "gcnconv": ("gcnconv_tf", "Tfg-gcnconv"),
+    "gatconv": ("gatconv_tf", "Tfg-gatconv"),
+    "sageconv": ("sageconv_tf", "Tfg-sageconv"),
+    "ginconv": ("ginconv_tf", "Tfg-ginconv"),
+    "idgcn": ("idgcn_tf", "Tfg-idgcn"),
+    "idgat": ("idgat_tf", "Tfg-idgat"),
+    "idsage": ("idsage_tf", "Tfg-idsage"),
+    "idgin": ("idgin_tf", "Tfg-idgin"),
+    "gcnconvFast": ("gcnconvFast_tf", "Tfg-idgcnconvFast"),
+    "gatconvFast": ("gatconvFast_tf", "Tfg-idgatconvFast"),
+    "sageconvFast": ("sageconvFast_tf", "Tfg-idsageconvFast"),
+    "ginconvFast": ("ginconvFast_tf", "Tfg-idginconvFast"),
+}
+
+
+def reference_acc(model_key: str, dataset: str):
+    """Mean-of-best-val accuracy the reference recorded for this
+    config (results/val/final)."""
+    # the fork names Fast results id<layer>Fast (main_zd.py:326)
+    base = {"gcnconvFast": "Tfg-idgcnconvFast",
+            "gatconvFast": "Tfg-idgatconvFast",
+            "sageconvFast": "Tfg-idsageconvFast",
+            "ginconvFast": "Tfg-idginconvFast"}.get(
+        model_key, MODELS[model_key][1])
+    cand = [
+        f"{REF}/results/val/final/{base}_{dataset}_avg_acc.txt",
+        f"{REF}/results/val/final/{MODELS[model_key][1]}_{dataset}"
+        f"_avg_acc.txt",
+    ]
+    # fast variants are recorded as id<conv>Fast, e.g. Tfg-idgcnconvFast
+    for p in cand:
+        if os.path.exists(p):
+            return float(np.loadtxt(p))
+    return None
+
+
+def run_one(model_key: str, dataset: str, seed: int, epochs,
+            out_root: str):
+    from graphgym_tpu.config import assert_cfg, get_cfg
+    from graphgym_tpu.data.loaders import create_dataset, create_loader
+    from graphgym_tpu.nn.model import build_model
+    from graphgym_tpu.train.logger import create_logger, setup_printing
+    from graphgym_tpu.train.loop import Trainer
+    import jax
+    import random
+
+    cfg_dir, _ = MODELS[model_key]
+    path = f"{REF}/config/{cfg_dir}/{model_key}_node_{dataset}.yaml"
+    if not os.path.exists(path):
+        print(f"SKIP {model_key}/{dataset}: no reference config")
+        return None
+    cfg = get_cfg()
+    cfg.merge_from_file(path)
+    # the reference Tfg path trains with plain constant-LR Adam
+    # (main_zd.py:311) — no scheduler
+    cfg.optim.scheduler = "none"
+    if epochs:
+        cfg.optim.max_epoch = epochs
+    cfg.seed = seed
+    cfg.out_dir = os.path.join(out_root,
+                               f"{model_key}_{dataset}", str(seed))
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    assert_cfg(cfg)
+    random.seed(seed)
+    np.random.seed(seed)
+    setup_printing("file", cfg.out_dir)
+
+    splits = create_dataset(cfg)
+    loaders = create_loader(splits, cfg)
+    model = build_model(cfg)
+    loggers = create_logger(cfg, len(loaders))
+    trainer = Trainer(model, loaders, cfg,
+                      rng=jax.random.PRNGKey(seed))
+    result = trainer.run(loggers)
+    return result["best_val_acc"]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--models", nargs="+", default=["gcnconv", "idgcn"])
+    p.add_argument("--datasets", nargs="+", default=["ws", "ba"])
+    p.add_argument("--repeat", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=0,
+                   help="override max_epoch (0 = config value)")
+    p.add_argument("--out", default="results/parity")
+    args = p.parse_args()
+
+    rows = []
+    for model_key in args.models:
+        for dataset in args.datasets:
+            accs = []
+            for i in range(args.repeat):
+                t0 = time.time()
+                acc = run_one(model_key, dataset, i + 1, args.epochs,
+                              args.out)
+                if acc is None:
+                    break
+                accs.append(acc)
+                print(f"{model_key}/{dataset} seed {i+1}: "
+                      f"acc={acc:.4f} ({time.time()-t0:.0f}s)",
+                      flush=True)
+            if not accs:
+                continue
+            ref = reference_acc(model_key, dataset)
+            rows.append({
+                "model": model_key, "dataset": dataset,
+                "ours": round(float(np.mean(accs)), 4),
+                "ours_std": round(float(np.std(accs)), 4),
+                "reference": ref,
+                "delta": (round(float(np.mean(accs)) - ref, 4)
+                          if ref is not None else None),
+                "seeds": len(accs),
+            })
+            with open(os.path.join(args.out, "parity.json"), "w") as f:
+                json.dump(rows, f, indent=1)
+    # markdown summary
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "PARITY.md"), "w") as f:
+        f.write("| model | dataset | ours | reference | delta |\n")
+        f.write("|---|---|---|---|---|\n")
+        for r in rows:
+            f.write(f"| {r['model']} | {r['dataset']} | "
+                    f"{r['ours']}±{r['ours_std']} | {r['reference']} | "
+                    f"{r['delta']} |\n")
+    print(json.dumps(rows, indent=1))
+
+
+if __name__ == "__main__":
+    main()
