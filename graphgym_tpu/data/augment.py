@@ -44,6 +44,13 @@ def _pagerank(g: HostGraph, **kw):
 
 
 def _clustering(g: HostGraph, **kw):
+    try:
+        from graphgym_tpu import native
+        if native.available():
+            return native.clustering_coefficient(
+                g.senders, g.receivers, g.num_nodes)
+    except Exception:
+        pass
     return st.clustering_coefficient(g)
 
 

@@ -35,6 +35,27 @@ def ego_nets(g: HostGraph, radius: int = 2) -> HostGraph:
     (transform.py:18-19).
     """
     n = g.num_nodes
+    if radius <= 4:
+        # native C++ union extraction when available (the reference's
+        # CPU hot loop #2)
+        try:
+            from graphgym_tpu import native
+            packed = native.ego_union(g.senders, g.receivers, n, radius)
+        except Exception:
+            packed = None
+        if packed is not None:
+            us, ur, orig_of, total_nodes = packed
+            out = HostGraph(total_nodes,
+                            np.stack([us, ur]).astype(np.int32))
+            for key, val in g.feats.items():
+                if key.startswith("node_") and key != "node_label_index" \
+                        and len(val) == n:
+                    out[key] = np.asarray(val)[orig_of]
+                else:
+                    out[key] = val
+            out["node_id_index"] = np.arange(n)
+            return out
+
     if radius > 4:
         ego_sets = [np.arange(n)] * n
     else:

@@ -75,6 +75,31 @@ def pack_csr(senders: np.ndarray, receivers: np.ndarray,
         weights = np.ones(e, np.float32)
     weights = np.asarray(weights, np.float32)
 
+    # native packer (graphgym_tpu/native): same layout, C++ inner loops
+    try:
+        from graphgym_tpu import native
+        packed = native.pack_csr_arrays(senders, receivers, weights,
+                                        num_nodes, R, C)
+    except Exception:
+        packed = None
+    if packed is not None:
+        out_s, out_w, out_l, out_t = packed
+        num_tiles = (num_nodes + R - 1) // R
+        nc = out_s.shape[0]
+        if pad_chunks_to is not None and pad_chunks_to > nc:
+            extra = pad_chunks_to - nc
+            out_s = np.concatenate(
+                [out_s, np.full((extra, C), num_nodes, np.int32)])
+            out_w = np.concatenate(
+                [out_w, np.zeros((extra, C), np.float32)])
+            out_l = np.concatenate(
+                [out_l, np.zeros((extra, C), np.int32)])
+            out_t = np.concatenate(
+                [out_t, np.full(extra, num_tiles - 1, np.int32)])
+        return PackedCSR(jnp.asarray(out_s), jnp.asarray(out_w),
+                         jnp.asarray(out_l), jnp.asarray(out_t),
+                         num_tiles)
+
     order = np.argsort(receivers, kind="stable")
     s_s, r_s, w_s = senders[order], receivers[order], weights[order]
     tile_of_edge = r_s // R

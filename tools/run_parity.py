@@ -105,6 +105,31 @@ def run_one(model_key: str, dataset: str, seed: int, epochs,
     return result["best_val_acc"]
 
 
+def run_one_subprocess(model_key: str, dataset: str, seed: int,
+                       epochs: int, out_root: str,
+                       timeout_s: int = 1500):
+    """Each training runs in a fresh process: the TPU tunnel in this
+    environment deadlocks on a second training session within one
+    process (observed futex hang after the first run)."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--single",
+           model_key, dataset, str(seed), "--epochs", str(epochs),
+           "--out", out_root]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"TIMEOUT {model_key}/{dataset} seed {seed}", flush=True)
+        return None
+    for line in proc.stdout.splitlines():
+        if line.startswith("SINGLE_RESULT "):
+            return float(line.split()[1])
+    print(f"FAILED {model_key}/{dataset} seed {seed}: "
+          f"{proc.stdout[-300:]} {proc.stderr[-300:]}", flush=True)
+    return None
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--models", nargs="+", default=["gcnconv", "idgcn"])
@@ -113,7 +138,17 @@ def main():
     p.add_argument("--epochs", type=int, default=0,
                    help="override max_epoch (0 = config value)")
     p.add_argument("--out", default="results/parity")
+    p.add_argument("--single", nargs=3, metavar=("MODEL", "DS", "SEED"),
+                   help="internal: run one training in-process")
     args = p.parse_args()
+
+    if args.single:
+        model_key, dataset, seed = args.single
+        acc = run_one(model_key, dataset, int(seed), args.epochs,
+                      args.out)
+        if acc is not None:
+            print(f"SINGLE_RESULT {acc}", flush=True)
+        return
 
     rows = []
     for model_key in args.models:
@@ -121,8 +156,8 @@ def main():
             accs = []
             for i in range(args.repeat):
                 t0 = time.time()
-                acc = run_one(model_key, dataset, i + 1, args.epochs,
-                              args.out)
+                acc = run_one_subprocess(model_key, dataset, i + 1,
+                                         args.epochs, args.out)
                 if acc is None:
                     break
                 accs.append(acc)
