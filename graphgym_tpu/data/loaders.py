@@ -551,6 +551,19 @@ class GraphLoader:
             pad_nodes_to=self.pad_nodes,
             pad_edges_to=self.pad_edges,
             **kw)
+        # Pallas SpMM path: precompute normalized packed-chunk layouts
+        if cfg.tpu.spmm_impl == "pallas":
+            from graphgym_tpu.graphs.packing import (build_packs,
+                                                     kinds_for_layer)
+            kinds = kinds_for_layer(cfg.gnn.layer_type)
+            if kinds:
+                packs = build_packs(
+                    np.asarray(batch.senders),
+                    np.asarray(batch.receivers),
+                    np.asarray(batch.edge_weight),
+                    np.asarray(batch.node_mask),
+                    batch.num_nodes, kinds=kinds)
+                batch = batch.replace(packs=packs)
         # re-pad the variable-length index lists to the split-wide bucket
         if batch.node_label_index is not None:
             batch = _repad_index(batch, "node_label_index", "label_mask",

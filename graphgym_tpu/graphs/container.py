@@ -81,6 +81,10 @@ class GraphBatch:
     graph_mask: Optional[jnp.ndarray] = None
     node_id_index: Optional[jnp.ndarray] = None
     id_mask: Optional[jnp.ndarray] = None
+    # Optional Pallas-kernel edge layouts (ops.pallas.spmm_kernel):
+    # dict kind -> (fwd PackedCSR, bwd PackedCSR); kinds: 'gcn'
+    # (sym-normalized A+I), 'plain' (raw A), 'mean' (D^-1 A).
+    packs: Optional[dict] = None
 
     # ---------------------------------------------------------------- sizes
     @property

@@ -57,12 +57,16 @@ class GCNIDConv(nn.Module):
         w = self.param("kernel", glorot, (x.shape[-1], self.dim_out))
         w_id = self.param("id_kernel", glorot, (x.shape[-1], self.dim_out))
         h = sp.apply_id_weights(x, idx, w, w_id, id_mask)
-        s, r, wgt = sp.gcn_norm(graph.senders, graph.receivers,
-                                graph.edge_weight, graph.num_nodes,
-                                improved=self.improved,
-                                node_mask=graph.node_mask)
-        h = sp.spmm(s, r, wgt, h, graph.num_nodes,
-                    implementation=self.spmm_impl)
+        from graphgym_tpu.nn.layers import packed_spmm
+        packed = None if self.improved else packed_spmm(graph, "gcn", h)
+        if packed is not None:
+            h = packed
+        else:
+            s, r, wgt = sp.gcn_norm(graph.senders, graph.receivers,
+                                    graph.edge_weight, graph.num_nodes,
+                                    improved=self.improved,
+                                    node_mask=graph.node_mask)
+            h = sp.spmm(s, r, wgt, h, graph.num_nodes)
         if self.use_bias:
             h = h + self.param("bias", zeros_init, (self.dim_out,))
         return graph.replace(node_feat=h)
@@ -158,9 +162,12 @@ class TfgIDSAGE(nn.Module):
         w_self = self.param("self_kernel", glorot, (x.shape[-1], d))
         w_id = self.param("id_kernel", glorot, (x.shape[-1], d))
         w_nb = self.param("neighbor_kernel", glorot, (x.shape[-1], d))
-        nb = sp.spmm(graph.senders, graph.receivers, None, x,
-                     graph.num_nodes, reduce="mean",
-                     edge_mask=graph.edge_mask)
+        from graphgym_tpu.nn.layers import packed_spmm
+        nb = packed_spmm(graph, "mean", x)
+        if nb is None:
+            nb = sp.spmm(graph.senders, graph.receivers, None, x,
+                         graph.num_nodes, reduce="mean",
+                         edge_mask=graph.edge_mask)
         h_nb = jnp.dot(nb, w_nb, preferred_element_type=x.dtype)
         h = sp.apply_id_weights(x, idx, w_self, w_id, id_mask)
         if self.concat:
@@ -303,8 +310,11 @@ class GINIDConv(nn.Module):
     def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
         x = graph.node_feat
         idx, id_mask = _id_index(graph)
-        nb = sp.spmm(graph.senders, graph.receivers, graph.edge_weight, x,
-                     graph.num_nodes)
+        from graphgym_tpu.nn.layers import packed_spmm
+        nb = packed_spmm(graph, "plain", x)
+        if nb is None:
+            nb = sp.spmm(graph.senders, graph.receivers,
+                         graph.edge_weight, x, graph.num_nodes)
         eps = self.param("eps", zeros_init, ()) if self.train_eps else self.eps
         h = (1.0 + eps) * x + nb
         out = _gin_mlp(self, h, "mlp", self.dim_out, self.mlp_bn,

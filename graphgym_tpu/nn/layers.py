@@ -37,6 +37,17 @@ glorot = nn.initializers.glorot_uniform()
 zeros_init = nn.initializers.zeros
 
 
+def packed_spmm(graph: GraphBatch, kind: str, h: jnp.ndarray):
+    """Use the batch-carried Pallas pack when present (built by the
+    loader when cfg.tpu.spmm_impl == 'pallas'); None -> caller falls
+    back to the XLA path."""
+    if graph.packs is not None and kind in graph.packs:
+        from graphgym_tpu.ops.pallas.spmm_kernel import spmm_pack_vjp
+        fwd, bwd = graph.packs[kind]
+        return spmm_pack_vjp(fwd, bwd, h)
+    return None
+
+
 # --------------------------------------------------------------------------
 # Basic node-feature layers
 # --------------------------------------------------------------------------
@@ -128,12 +139,15 @@ class GCNConv(nn.Module):
         x = graph.node_feat
         w = self.param("kernel", glorot, (x.shape[-1], self.dim_out))
         h = jnp.dot(x, w, preferred_element_type=x.dtype)
-        s, r, wgt = sp.gcn_norm(graph.senders, graph.receivers,
-                                graph.edge_weight, graph.num_nodes,
-                                improved=self.improved,
-                                node_mask=graph.node_mask)
-        h = sp.spmm(s, r, wgt, h, graph.num_nodes,
-                    implementation=self.spmm_impl)
+        packed = None if self.improved else packed_spmm(graph, "gcn", h)
+        if packed is not None:
+            h = packed
+        else:
+            s, r, wgt = sp.gcn_norm(graph.senders, graph.receivers,
+                                    graph.edge_weight, graph.num_nodes,
+                                    improved=self.improved,
+                                    node_mask=graph.node_mask)
+            h = sp.spmm(s, r, wgt, h, graph.num_nodes)
         if self.use_bias:
             h = h + self.param("bias", zeros_init, (self.dim_out,))
         return graph.replace(node_feat=h)
@@ -159,9 +173,11 @@ class SAGEConv(nn.Module):
         w_nb = self.param("neighbor_kernel", glorot, (x.shape[-1], d))
         # tfg's mean_reducer aggregates x[col] grouped by row=receivers
         # where in its call row/col are (receiver, sender).
-        nb = sp.spmm(graph.senders, graph.receivers, None, x,
-                     graph.num_nodes, reduce="mean",
-                     edge_mask=graph.edge_mask)
+        nb = packed_spmm(graph, "mean", x)
+        if nb is None:
+            nb = sp.spmm(graph.senders, graph.receivers, None, x,
+                         graph.num_nodes, reduce="mean",
+                         edge_mask=graph.edge_mask)
         h_nb = jnp.dot(nb, w_nb, preferred_element_type=x.dtype)
         h_self = jnp.dot(x, w_self, preferred_element_type=x.dtype)
         if self.combine == "concat":
@@ -310,8 +326,10 @@ class GINConv(nn.Module):
     @nn.compact
     def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
         x = graph.node_feat
-        nb = sp.spmm(graph.senders, graph.receivers, graph.edge_weight, x,
-                     graph.num_nodes)
+        nb = packed_spmm(graph, "plain", x)
+        if nb is None:
+            nb = sp.spmm(graph.senders, graph.receivers,
+                         graph.edge_weight, x, graph.num_nodes)
         if self.train_eps:
             eps = self.param("eps", zeros_init, ())
         else:

@@ -50,13 +50,14 @@ class PackedCSR(NamedTuple):
     weights    [NC, C] f32   — edge weights (0 on padding)
     local_rows [NC, C] int32 — receiver row within the chunk's tile
     tiles      [NC]    int32 — output tile index of each chunk (ascending)
-    num_tiles  int           — ceil(num_nodes / R)
+
+    All fields are arrays (a clean jit-traversable pytree); the tile
+    count is derived from the static num_nodes at call sites.
     """
     senders: jnp.ndarray
     weights: jnp.ndarray
     local_rows: jnp.ndarray
     tiles: jnp.ndarray
-    num_tiles: int
 
 
 def pack_csr(senders: np.ndarray, receivers: np.ndarray,
@@ -97,8 +98,7 @@ def pack_csr(senders: np.ndarray, receivers: np.ndarray,
             out_t = np.concatenate(
                 [out_t, np.full(extra, num_tiles - 1, np.int32)])
         return PackedCSR(jnp.asarray(out_s), jnp.asarray(out_w),
-                         jnp.asarray(out_l), jnp.asarray(out_t),
-                         num_tiles)
+                         jnp.asarray(out_l), jnp.asarray(out_t))
 
     order = np.argsort(receivers, kind="stable")
     s_s, r_s, w_s = senders[order], receivers[order], weights[order]
@@ -142,8 +142,7 @@ def pack_csr(senders: np.ndarray, receivers: np.ndarray,
         out_t = np.concatenate(
             [out_t, np.full(extra, num_tiles - 1, np.int32)])
     return PackedCSR(jnp.asarray(out_s), jnp.asarray(out_w),
-                     jnp.asarray(out_l), jnp.asarray(out_t),
-                     num_tiles)
+                     jnp.asarray(out_l), jnp.asarray(out_t))
 
 
 def _kernel(tiles_ref, local_ref, msg_ref, out_ref, acc_ref):
@@ -220,14 +219,18 @@ def packed_segment_matmul(msg: jnp.ndarray, local_rows: jnp.ndarray,
 def spmm_packed(pack: PackedCSR, x: jnp.ndarray, num_nodes: int,
                 interpret: bool = False) -> jnp.ndarray:
     """Forward SpMM from a packed layout.  x must have a padding row at
-    index num_nodes (GraphBatch guarantees one)."""
+    index num_nodes (GraphBatch guarantees one).  On CPU backends the
+    kernel runs in interpreter mode automatically (tests / debugging)."""
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
     if x.shape[0] == num_nodes:
         x = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
     msg = jnp.take(x, pack.senders.reshape(-1), axis=0)
     msg = msg.reshape(pack.senders.shape + (x.shape[1],))
     msg = msg * pack.weights[..., None]
+    num_tiles = (num_nodes + ROWS_PER_TILE - 1) // ROWS_PER_TILE
     out = packed_segment_matmul(msg, pack.local_rows, pack.tiles,
-                                pack.num_tiles, interpret=interpret)
+                                num_tiles, interpret=interpret)
     return out[:num_nodes]
 
 
@@ -272,6 +275,38 @@ def _spmm_bwd_rule(pack, num_nodes, _, g):
 
 
 spmm_bidir.defvjp(_spmm_fwd_rule, _spmm_bwd_rule)
+
+
+@jax.custom_vjp
+def spmm_pack_vjp(fwd_pack: PackedCSR, bwd_pack: PackedCSR,
+                  x: jnp.ndarray) -> jnp.ndarray:
+    """SpMM over batch-carried packs (both packs are pytree *arguments*
+    so they can flow through jit as traced data — unlike spmm_bidir
+    whose packs are static).  Gradients: dx = A^T g; the pack arrays get
+    symbolic-zero cotangents."""
+    return spmm_packed(fwd_pack, x, x.shape[0])
+
+
+def _pack_vjp_fwd(fwd_pack, bwd_pack, x):
+    return spmm_packed(fwd_pack, x, x.shape[0]), (fwd_pack, bwd_pack)
+
+
+def _zero_cotangent(pack: PackedCSR):
+    def zero(a):
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            return jnp.zeros_like(a)
+        return np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return PackedCSR(zero(pack.senders), zero(pack.weights),
+                     zero(pack.local_rows), zero(pack.tiles))
+
+
+def _pack_vjp_bwd(res, g):
+    fwd_pack, bwd_pack = res
+    dx = spmm_packed(bwd_pack, g, g.shape[0])
+    return (_zero_cotangent(fwd_pack), _zero_cotangent(bwd_pack), dx)
+
+
+spmm_pack_vjp.defvjp(_pack_vjp_fwd, _pack_vjp_bwd)
 
 
 def sddmm_edge_grad(pack: BidirPack, x: jnp.ndarray,

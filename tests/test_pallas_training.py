@@ -1,0 +1,64 @@
+"""Pallas-vs-XLA training-path equivalence (interpret mode on CPU;
+the compiled path is exercised on TPU by bench.py and tools/)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from graphgym_tpu.config import get_cfg
+from graphgym_tpu.data.loaders import create_dataset, create_loader
+from graphgym_tpu.nn.model import build_model
+from graphgym_tpu.train.logger import Logger
+from graphgym_tpu.train.loop import Trainer
+
+
+def run(impl, layer, epochs=2):
+    cfg = get_cfg()
+    cfg.merge_from_dict({
+        "dataset": {"format": "nx", "name": "ws", "task": "node",
+                    "transductive": False, "split": [0.8, 0.2],
+                    "augment_label": "node_clustering_coefficient",
+                    "augment_label_dims": 4,
+                    "transform": ("ego" if "id" in layer else "none")},
+        "gnn": {"layers_mp": 2, "dim_inner": 16, "layer_type": layer},
+        "train": {"batch_size": 8},
+        "tpu": {"spmm_impl": impl},
+        "optim": {"scheduler": "none"}})
+    np.random.seed(0)
+    splits = create_dataset(cfg)
+    splits = [p[:6] for p in splits]
+    loaders = create_loader(splits, cfg)
+    model = build_model(cfg)
+    tr = Trainer(model, loaders, cfg, rng=jax.random.PRNGKey(0))
+    lg = Logger("train")
+    for ep in range(epochs):
+        tr.train_epoch(lg, ep)
+    return lg._loss / lg._size_current, tr.eval_epoch(None, 1)
+
+
+@pytest.mark.parametrize("layer", ["gcnconv", "Tfg-idgcn", "ginconv",
+                                   "Tfg-idsage"])
+def test_pallas_path_matches_xla(layer):
+    loss_x, acc_x = run("xla", layer)
+    loss_p, acc_p = run("pallas", layer)
+    assert abs(loss_x - loss_p) < 2e-3, (layer, loss_x, loss_p)
+    assert abs(acc_x - acc_p) < 5e-3, (layer, acc_x, acc_p)
+
+
+def test_packs_present_only_when_requested():
+    cfg = get_cfg()
+    cfg.merge_from_dict({
+        "dataset": {"format": "nx", "name": "ws", "task": "node",
+                    "transductive": False, "split": [0.8, 0.2],
+                    "augment_label": "node_clustering_coefficient",
+                    "augment_label_dims": 4},
+        "gnn": {"layer_type": "gcnconv"},
+        "tpu": {"spmm_impl": "xla"}})
+    splits = create_dataset(cfg)
+    loaders = create_loader([p[:2] for p in splits], cfg)
+    assert loaders[0].batches(0)[0].packs is None
+    cfg.tpu.spmm_impl = "pallas"
+    loaders = create_loader([p[:2] for p in splits], cfg)
+    b = loaders[0].batches(0)[0]
+    assert b.packs is not None and "gcn" in b.packs
