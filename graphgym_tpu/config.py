@@ -265,6 +265,8 @@ def set_cfg(cfg: CfgNode) -> CfgNode:
     cfg.tpu.mesh_shape = []          # e.g. [8] edge-partition axis
     cfg.tpu.mesh_axes = ["data"]
     cfg.tpu.donate_state = True
+    cfg.tpu.profile = False          # jax.profiler trace into out_dir
+    cfg.tpu.profile_epochs = 3       # epochs to capture when profiling
 
     # user-registered extensions (reference config.py:422-424)
     for func in register.config_dict.values():

@@ -86,14 +86,23 @@ class Logger:
 
     def __init__(self, name: str = "train", *, task_type: str =
                  "classification_multi", out_dir: Optional[str] = None,
-                 round_digits: int = 4, thresh: float = 0.5):
+                 round_digits: int = 4, thresh: float = 0.5,
+                 tensorboard: bool = False):
         self.name = name
         self.task_type = task_type
         self.out_dir = out_dir
         self.round = round_digits
         self.thresh = thresh
+        self._tb = None
         if out_dir is not None:
             os.makedirs(os.path.join(out_dir, name), exist_ok=True)
+            if tensorboard:
+                try:
+                    from tensorboardX import SummaryWriter
+                    self._tb = SummaryWriter(
+                        os.path.join(out_dir, name))
+                except Exception:
+                    logging.warning("tensorboardX unavailable")
         self.reset()
 
     def reset(self):
@@ -172,12 +181,17 @@ class Logger:
             path = os.path.join(self.out_dir, self.name, "stats.json")
             with open(path, "a") as f:
                 f.write(json.dumps(stats) + "\n")
+        if self._tb is not None:
+            for k, v in stats.items():
+                if isinstance(v, (int, float)) and k != "epoch":
+                    self._tb.add_scalar(k, v, cur_epoch)
         logging.info("%s: %s", self.name, stats)
         self.reset()
         return stats
 
     def close(self):
-        pass
+        if self._tb is not None:
+            self._tb.close()
 
 
 def infer_task_type(cfg, num_labels: int) -> str:
@@ -193,5 +207,6 @@ def create_logger(cfg, num_splits: int) -> List[Logger]:
     names = ["train", "val", "test"][:num_splits]
     task_type = infer_task_type(cfg, cfg.share.dim_out)
     return [Logger(name, task_type=task_type, out_dir=cfg.out_dir,
-                   round_digits=cfg.round, thresh=cfg.model.thresh)
+                   round_digits=cfg.round, thresh=cfg.model.thresh,
+                   tensorboard=cfg.tensorboard_each_run)
             for name in names]

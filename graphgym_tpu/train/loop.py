@@ -173,9 +173,24 @@ class Trainer:
 
         val_curve: List[Tuple[int, float]] = []
         num_splits = len(self.loaders)
+        profiling = bool(cfg.tpu.profile)
+        if profiling:
+            jax.profiler.start_trace(
+                f"{cfg.out_dir}/profile")
+        edges_per_epoch = sum(
+            int(b.count_real_edges())
+            for b in self.loaders[0].batches(0))
         for epoch in range(start_epoch, cfg.optim.max_epoch):
+            if profiling and epoch - start_epoch == cfg.tpu.profile_epochs:
+                jax.profiler.stop_trace()
+                profiling = False
+            t_ep = time.time()
             self.train_epoch(loggers[0] if loggers else Logger("train"),
                              epoch)
+            dt_ep = time.time() - t_ep
+            if epoch == start_epoch or (loggers and epoch % 50 == 0):
+                logging.info("epoch %d: %.3fs, %.0f edges/s", epoch,
+                             dt_ep, edges_per_epoch / max(dt_ep, 1e-9))
             if loggers:
                 loggers[0].write_epoch(epoch)
             if ckpt.is_eval_epoch(epoch, cfg.train.eval_period,
@@ -194,6 +209,8 @@ class Trainer:
             if ckpt.is_ckpt_epoch(epoch, cfg.train.ckpt_period,
                                   cfg.optim.max_epoch):
                 ckpt.save_ckpt(self.state, cfg.out_dir, epoch)
+        if profiling:
+            jax.profiler.stop_trace()
         if cfg.train.ckpt_clean:
             ckpt.clean_ckpt(cfg.out_dir)
         best = max(val_curve, key=lambda t: t[1]) if val_curve else (0, 0.0)
