@@ -67,6 +67,15 @@ def build_packs(senders: np.ndarray, receivers: np.ndarray,
         elif kind == "mean":
             s, r, w = _mean_weights(senders, receivers, edge_weight,
                                     num_nodes)
+        elif kind == "att":
+            # attention edge set: A + self-loops on real nodes; weights
+            # are a validity indicator (1 real / 0 padding) — the
+            # actual attention coefficients are computed in-trace
+            loop = np.arange(num_nodes, dtype=senders.dtype)
+            s = np.concatenate([senders, loop])
+            r = np.concatenate([receivers, loop])
+            w = np.concatenate([(edge_weight != 0).astype(np.float32),
+                                node_mask.astype(np.float32)])
         else:
             raise ValueError(f"Unknown pack kind {kind}")
         fwd = pack_csr(s, r, w, num_nodes)
@@ -84,4 +93,6 @@ def kinds_for_layer(layer_type: str) -> Tuple[str, ...]:
         return ("plain",)
     if lt in ("sageconv", "idsage", "sageidconv", "sageinitconv"):
         return ("mean",)
+    if lt in ("gatconv", "idgat", "gatidconv", "gaddconv", "gmulconv"):
+        return ("att",)
     return ()

@@ -48,6 +48,55 @@ def packed_spmm(graph: GraphBatch, kind: str, h: jnp.ndarray):
     return None
 
 
+def packed_attention(graph: GraphBatch, h_heads: jnp.ndarray,
+                     score_fn, values: Optional[jnp.ndarray] = None,
+                     keys: Optional[jnp.ndarray] = None):
+    """Fused-layout multi-head attention over the 'att' pack: per-edge
+    scores and softmax run on scalars in packed slot order (no [E, D]
+    scatters), value aggregation through the differentiable Pallas
+    segmented matmul.
+
+    h_heads: [N, H, d] per-head receiver-side (query) features; keys
+    defaults to h_heads (sender side); values defaults to h_heads.
+    score_fn(h_i, h_j) -> [NC, C, H] raw scores.
+    Returns [N, H, dv] aggregated output, or None when no 'att' pack.
+    """
+    if graph.packs is None or "att" not in graph.packs:
+        return None
+    from graphgym_tpu.ops.pallas.spmm_kernel import (pack_rows,
+                                                     segment_matmul_vjp)
+    fwd, _ = graph.packs["att"]
+    n = graph.num_nodes
+    H = h_heads.shape[1]
+    k = keys if keys is not None else h_heads
+    v = values if values is not None else h_heads
+    dv = v.shape[-1]
+    rows = pack_rows(fwd)                       # [NC, C]
+    valid = fwd.weights > 0
+
+    def take_padded(arr, idx):
+        # pack padding slots gather from index n (the extra pad row) —
+        # append it so jnp.take never goes out of bounds (NaN fill)
+        padded = jnp.concatenate(
+            [arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)])
+        return jnp.take(padded, idx.reshape(-1), axis=0).reshape(
+            idx.shape + arr.shape[1:])
+
+    h_j = take_padded(k, fwd.senders)           # [NC, C, H, d]
+    h_i = take_padded(h_heads, rows)
+    alpha = score_fn(h_i, h_j)                  # [NC, C, H]
+    flat = alpha.reshape(-1, H)
+    flat_rows = rows.reshape(-1)
+    mask = valid.reshape(-1)[:, None] & jnp.ones_like(flat, bool)
+    alpha_sm = S.segment_softmax(flat, flat_rows, n, mask=mask)
+    alpha_sm = alpha_sm.reshape(alpha.shape)
+    v_j = take_padded(v, fwd.senders)
+    msg = (v_j * alpha_sm[..., None]).reshape(
+        fwd.senders.shape + (H * dv,))
+    out = segment_matmul_vjp(msg, fwd.local_rows, fwd.tiles, n)
+    return out.reshape(n, H, dv)
+
+
 # --------------------------------------------------------------------------
 # Basic node-feature layers
 # --------------------------------------------------------------------------
@@ -221,6 +270,22 @@ class GATConv(nn.Module):
         h = jnp.dot(x, w, preferred_element_type=x.dtype)
         h = h.reshape(n, self.heads, per_head)
 
+        if self.att_dropout == 0:
+            def score(h_i, h_j):
+                a = jnp.sum(jnp.concatenate([h_i, h_j], -1)
+                            * att[None], axis=-1)
+                return jax.nn.leaky_relu(
+                    a, negative_slope=self.negative_slope)
+
+            packed = packed_attention(graph, h, score)
+            if packed is not None:
+                out = packed.reshape(n, self.heads * per_head) \
+                    if self.concat_heads else jnp.mean(packed, axis=1)
+                if self.use_bias:
+                    out = out + self.param("bias", zeros_init,
+                                           (out.shape[-1],))
+                return graph.replace(node_feat=out)
+
         loop = jnp.arange(n, dtype=graph.senders.dtype)
         senders = jnp.concatenate([graph.senders, loop])
         receivers = jnp.concatenate([graph.receivers, loop])
@@ -284,6 +349,23 @@ class TfgGATConv(nn.Module):
         q = act_dict[self.query_act](x @ wq + bq).reshape(n, self.heads, dh)
         k = act_dict[self.key_act](x @ wk + bk).reshape(n, self.heads, dh)
         v = jnp.dot(x, wv, preferred_element_type=x.dtype)
+
+        if self.att_dropout == 0 and self.split_value_heads \
+                and self.dim_out % self.heads == 0:
+            scale = jnp.sqrt(jnp.asarray(dh, x.dtype))
+
+            def score(q_i, k_j):
+                return jnp.sum(q_i * k_j, axis=-1) / scale
+
+            vh = v.reshape(n, self.heads, self.dim_out // self.heads)
+            packed = packed_attention(graph, q, score, values=vh,
+                                      keys=k)
+            if packed is not None:
+                out = packed.reshape(n, self.dim_out)
+                if self.use_bias:
+                    out = out + self.param("bias", zeros_init,
+                                           (self.dim_out,))
+                return graph.replace(node_feat=out)
 
         loop = jnp.arange(n, dtype=graph.senders.dtype)
         senders = jnp.concatenate([graph.senders, loop])

@@ -190,6 +190,8 @@ def packed_segment_matmul(msg: jnp.ndarray, local_rows: jnp.ndarray,
     onehot(local_rows[i])^T @ msg[i]."""
     nc, c, d = msg.shape
     R = ROWS_PER_TILE
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
     # guard the tiles[i+1] / tiles[i-1] neighbor reads at the ends
     tiles = jnp.concatenate([tiles, tiles[-1:]])
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -275,6 +277,44 @@ def _spmm_bwd_rule(pack, num_nodes, _, g):
 
 
 spmm_bidir.defvjp(_spmm_fwd_rule, _spmm_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def segment_matmul_vjp(msg: jnp.ndarray, local_rows: jnp.ndarray,
+                       tiles: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
+    """Differentiable packed segmented-sum: out[rows] += msg, where
+    rows = tiles*R + local_rows.  Forward runs the Pallas kernel; the
+    VJP wrt msg is a plain gather d_msg[i,c] = g[rows[i,c]] — so any
+    traced per-edge weighting (attention!) folded into msg
+    differentiates for free."""
+    num_tiles = (num_nodes + ROWS_PER_TILE - 1) // ROWS_PER_TILE
+    return packed_segment_matmul(msg, local_rows, tiles,
+                                 num_tiles)[:num_nodes]
+
+
+def _segmm_fwd(msg, local_rows, tiles, num_nodes):
+    return segment_matmul_vjp(msg, local_rows, tiles, num_nodes), \
+        (local_rows, tiles)
+
+
+def _segmm_bwd(num_nodes, res, g):
+    local_rows, tiles = res
+    rows = tiles[:, None] * ROWS_PER_TILE + local_rows  # [NC, C]
+    rows = jnp.minimum(rows, g.shape[0] - 1)
+    d_msg = jnp.take(g, rows.reshape(-1), axis=0).reshape(
+        rows.shape + g.shape[1:])
+    zero_i = np.zeros(local_rows.shape, dtype=jax.dtypes.float0)
+    zero_t = np.zeros(tiles.shape, dtype=jax.dtypes.float0)
+    return d_msg, zero_i, zero_t
+
+
+segment_matmul_vjp.defvjp(_segmm_fwd, _segmm_bwd)
+
+
+def pack_rows(pack: PackedCSR) -> jnp.ndarray:
+    """Receiver row of every packed slot: tiles*R + local."""
+    return (pack.tiles[:, None] * ROWS_PER_TILE
+            + pack.local_rows).astype(jnp.int32)
 
 
 @jax.custom_vjp

@@ -13,7 +13,7 @@ from graphgym_tpu.train.logger import Logger
 from graphgym_tpu.train.loop import Trainer
 
 
-def run(impl, layer, epochs=2):
+def run(impl, layer, epochs=2, batchnorm=True):
     cfg = get_cfg()
     cfg.merge_from_dict({
         "dataset": {"format": "nx", "name": "ws", "task": "node",
@@ -21,7 +21,8 @@ def run(impl, layer, epochs=2):
                     "augment_label": "node_clustering_coefficient",
                     "augment_label_dims": 4,
                     "transform": ("ego" if "id" in layer else "none")},
-        "gnn": {"layers_mp": 2, "dim_inner": 16, "layer_type": layer},
+        "gnn": {"layers_mp": 2, "dim_inner": 16, "layer_type": layer,
+                "batchnorm": batchnorm},
         "train": {"batch_size": 8},
         "tpu": {"spmm_impl": impl},
         "optim": {"scheduler": "none"}})
@@ -42,6 +43,19 @@ def run(impl, layer, epochs=2):
 def test_pallas_path_matches_xla(layer):
     loss_x, acc_x = run("xla", layer)
     loss_p, acc_p = run("pallas", layer)
+    assert abs(loss_x - loss_p) < 2e-3, (layer, loss_x, loss_p)
+    assert abs(acc_x - acc_p) < 5e-3, (layer, acc_x, acc_p)
+
+
+@pytest.mark.parametrize("layer", ["gatconv", "Tfg-gatconv"])
+def test_pallas_attention_matches_xla(layer):
+    """GAT packed path. BatchNorm disabled: with near-constant input
+    features some BN dims have ~0 variance and amplify legitimate
+    1e-6 kernel-vs-XLA float noise ~300x per layer, so train-mode
+    trajectories diverge chaotically while eval outputs match to
+    3e-6 (verified in layer tests)."""
+    loss_x, acc_x = run("xla", layer, batchnorm=False)
+    loss_p, acc_p = run("pallas", layer, batchnorm=False)
     assert abs(loss_x - loss_p) < 2e-3, (layer, loss_x, loss_p)
     assert abs(acc_x - acc_p) < 5e-3, (layer, acc_x, acc_p)
 
