@@ -268,7 +268,13 @@ def set_cfg(cfg: CfgNode) -> CfgNode:
     cfg.tpu.profile = False          # jax.profiler trace into out_dir
     cfg.tpu.profile_epochs = 3       # epochs to capture when profiling
 
-    # user-registered extensions (reference config.py:422-424)
+    # contrib auto-import (reference config.py:7 `from
+    # graphgym.contrib.config import *`) then user-registered
+    # extensions (reference config.py:422-424)
+    try:
+        import graphgym_tpu.contrib  # noqa: F401
+    except Exception as exc:  # contrib must never break core
+        logging.warning("contrib import failed: %s", exc)
     for func in register.config_dict.values():
         func(cfg)
     return cfg

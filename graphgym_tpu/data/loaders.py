@@ -198,6 +198,32 @@ def tu_simple_filter(graphs: List[HostGraph]) -> List[HostGraph]:
     return [graphs[i] for i in order]
 
 
+def load_karate() -> List[HostGraph]:
+    """Zachary's karate club (reference loader.py:54-55 KarateClub):
+    34 nodes, 78 undirected edges, community labels."""
+    edges = [
+        (0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (0, 6), (0, 7), (0, 8),
+        (0, 10), (0, 11), (0, 12), (0, 13), (0, 17), (0, 19), (0, 21),
+        (0, 31), (1, 2), (1, 3), (1, 7), (1, 13), (1, 17), (1, 19),
+        (1, 21), (1, 30), (2, 3), (2, 7), (2, 8), (2, 9), (2, 13),
+        (2, 27), (2, 28), (2, 32), (3, 7), (3, 12), (3, 13), (4, 6),
+        (4, 10), (5, 6), (5, 10), (5, 16), (6, 16), (8, 30), (8, 32),
+        (8, 33), (9, 33), (13, 33), (14, 32), (14, 33), (15, 32),
+        (15, 33), (18, 32), (18, 33), (19, 33), (20, 32), (20, 33),
+        (22, 32), (22, 33), (23, 25), (23, 27), (23, 29), (23, 32),
+        (23, 33), (24, 25), (24, 27), (24, 31), (25, 31), (26, 29),
+        (26, 33), (27, 33), (28, 31), (28, 33), (29, 32), (29, 33),
+        (30, 32), (30, 33), (31, 32), (31, 33), (32, 33)]
+    labels = [1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 1, 1, 1, 1, 0, 0, 1, 1, 0,
+              1, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    arr = np.asarray(edges, np.int32)
+    ei = np.concatenate([arr, arr[:, ::-1]], axis=0).T
+    g = HostGraph(34, ei.astype(np.int32))
+    g["node_feature"] = np.eye(34, dtype=np.float32)
+    g["node_label"] = np.asarray(labels, np.int64)
+    return [g]
+
+
 def load_dataset(cfg) -> List[HostGraph]:
     fmt = cfg.dataset.format
     if fmt.startswith("Tfg-"):
@@ -212,6 +238,8 @@ def load_dataset(cfg) -> List[HostGraph]:
     if fmt in ("PyG", "Planetoid"):
         if name in ("Cora", "CiteSeer", "PubMed"):
             return load_planetoid(name, cfg.dataset.dir)
+        if name == "Karate":
+            return load_karate()
         if name.startswith("TU_"):
             graphs = load_tu(name[3:], cfg.dataset.dir)
             if cfg.dataset.tu_simple and cfg.dataset.task != "graph":
@@ -224,6 +252,16 @@ def load_dataset(cfg) -> List[HostGraph]:
         if cfg.dataset.tu_simple and cfg.dataset.task != "graph":
             graphs = tu_simple_filter(graphs)
         return graphs
+    if fmt == "OGB":
+        try:
+            import ogb  # noqa: F401
+        except ImportError as exc:
+            raise ImportError(
+                "OGB datasets need the `ogb` package (not installed "
+                "in this image); download the raw data and use the "
+                "TU/nx formats instead") from exc
+        raise NotImplementedError(
+            "OGB loading requires network access for download")
     if fmt == "syn":
         from graphgym_tpu.data.synthetic import generate_syn_graphs
         return generate_syn_graphs(name, seed=cfg.seed)
@@ -316,9 +354,32 @@ def _default_supervision(g: HostGraph, cfg) -> None:
 
 # ------------------------------------------------------------ create_dataset
 
+def _cache_path(cfg) -> str:
+    import hashlib
+    key = "|".join(str(v) for v in (
+        cfg.dataset.name, cfg.dataset.format, cfg.dataset.task,
+        cfg.dataset.transform, cfg.dataset.augment_label,
+        cfg.dataset.augment_feature, cfg.gnn.layers_mp,
+        cfg.dataset.split, cfg.seed))
+    digest = hashlib.sha256(key.encode()).hexdigest()[:16]
+    return os.path.join(cfg.dataset.dir if os.path.isdir(
+        cfg.dataset.dir) else ".", f"cache_{digest}.pkl")
+
+
 def create_dataset(cfg, rng: Optional[np.random.Generator] = None
                    ) -> List[List[HostGraph]]:
-    """Full pipeline (reference create_dataset, loader.py:191-244)."""
+    """Full pipeline (reference create_dataset, loader.py:191-244).
+    cfg.dataset.cache_save/cache_load persist the processed splits
+    (reference config.py:188-192 caveats apply: the cache key covers
+    the main options only)."""
+    if cfg.dataset.cache_load:
+        path = _cache_path(cfg)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                splits = pickle.load(f)
+            set_dataset_info(splits, cfg)
+            logging.info("Loaded cached dataset from %s", path)
+            return splits
     rng = rng or np.random.default_rng(cfg.seed)
     t1 = time.time()
     graphs = load_dataset(cfg)
@@ -357,6 +418,14 @@ def create_dataset(cfg, rng: Optional[np.random.Generator] = None
         "After split: %.4fs", t2 - t1, t3 - t2, t4 - t3, t5 - t4)
 
     set_dataset_info(splits, cfg)
+    if cfg.dataset.cache_save:
+        path = _cache_path(cfg)
+        try:
+            with open(path, "wb") as f:
+                pickle.dump(splits, f)
+            logging.info("Cached dataset to %s", path)
+        except OSError as exc:
+            logging.warning("dataset cache_save failed: %s", exc)
     return splits
 
 

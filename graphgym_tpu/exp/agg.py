@@ -120,11 +120,15 @@ def name_to_dict(run_name: str) -> Dict[str, str]:
 
 def agg_batch(batch_dir: str, metric: str = "accuracy") -> None:
     """Aggregate a grid-search batch directory into CSVs (reference
-    agg_batch, agg_runs.py:132-205)."""
+    agg_batch, agg_runs.py:132-205): {split}_best.csv (at the best val
+    epoch), {split}.csv (final epoch), {split}_bestepoch.csv (each
+    run's own best epoch on that split)."""
     run_dirs = [d for d in sorted(os.listdir(batch_dir))
                 if os.path.isdir(os.path.join(batch_dir, d))
                 and d != "agg"]
     rows_best: Dict[str, List[Dict]] = {}
+    rows_final: Dict[str, List[Dict]] = {}
+    rows_bestepoch: Dict[str, List[Dict]] = {}
     for rd in run_dirs:
         agg = agg_runs(os.path.join(batch_dir, rd), metric=metric)
         if not agg:
@@ -133,15 +137,32 @@ def agg_batch(batch_dir: str, metric: str = "accuracy") -> None:
         for split, best in agg.items():
             rows_best.setdefault(split, []).append(
                 {**params, **best, "run": rd})
+            stats = _read_stats(os.path.join(
+                batch_dir, rd, "agg", split, "stats.json"))
+            if stats:
+                rows_final.setdefault(split, []).append(
+                    {**params, **stats[-1], "run": rd})
+                vals = [d.get(metric, 0.0) for d in stats]
+                rows_bestepoch.setdefault(split, []).append(
+                    {**params, **stats[int(np.argmax(vals))],
+                     "run": rd})
     agg_dir = os.path.join(batch_dir, "agg")
     os.makedirs(agg_dir, exist_ok=True)
-    for split, rows in rows_best.items():
+
+    def write_csv(fname, rows):
+        if not rows:
+            return
         keys = sorted({k for r in rows for k in r})
-        with open(os.path.join(agg_dir, f"{split}_best.csv"), "w",
-                  newline="") as f:
+        with open(os.path.join(agg_dir, fname), "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=keys)
             w.writeheader()
             for r in rows:
                 w.writerow(r)
+
+    for split in rows_best:
+        write_csv(f"{split}_best.csv", rows_best.get(split, []))
+        write_csv(f"{split}.csv", rows_final.get(split, []))
+        write_csv(f"{split}_bestepoch.csv",
+                  rows_bestepoch.get(split, []))
     logging.info("agg_batch: wrote CSVs for %d runs to %s",
                  len(run_dirs), agg_dir)

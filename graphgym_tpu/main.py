@@ -49,6 +49,11 @@ def run_single(cfg, out_dir_parent: str, cfg_file: str):
     loaders = create_loader(splits, cfg)
     model = build_model(cfg)
     loggers = create_logger(cfg, len(loaders))
+    # custom training-mode hook (reference main.py:55-58 train_dict)
+    if cfg.train.mode != "standard":
+        from graphgym_tpu import register
+        return register.train_dict[cfg.train.mode](
+            loggers, loaders, model, cfg)
     trainer = Trainer(model, loaders, cfg,
                       rng=jax.random.PRNGKey(cfg.seed))
     logging.info("params: %d", cfg.params)

@@ -438,6 +438,39 @@ def _gin_mlp(mod: nn.Module, h: jnp.ndarray, prefix: str, dim_out: int,
     return h
 
 
+class SplineConv(nn.Module):
+    """Linear B-spline conv over 1-D edge pseudo-coordinates with
+    kernel_size=2 — the configuration the reference instantiates
+    (layer.py:177-186, pyg SplineConv(dim=1, kernel_size=2)):
+
+      u = edge_feat[:, 0] in [0, 1]
+      msg_e = ((1-u) W_0 + u W_1) x_j;  out_i = sum_e msg_e + W_root x_i
+    """
+    dim_out: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
+        x = graph.node_feat
+        e = graph.edge_feat
+        assert e is not None, "splineconv needs edge pseudo-coordinates"
+        u = jnp.clip(e[:, 0], 0.0, 1.0)
+        w0 = self.param("kernel0", glorot, (x.shape[-1], self.dim_out))
+        w1 = self.param("kernel1", glorot, (x.shape[-1], self.dim_out))
+        w_root = self.param("root_kernel", glorot,
+                            (x.shape[-1], self.dim_out))
+        h0 = jnp.dot(x, w0, preferred_element_type=x.dtype)
+        h1 = jnp.dot(x, w1, preferred_element_type=x.dtype)
+        m0 = jnp.take(h0, graph.senders, axis=0) * (1 - u)[:, None]
+        m1 = jnp.take(h1, graph.senders, axis=0) * u[:, None]
+        msg = jnp.where(graph.edge_mask[:, None], m0 + m1, 0.0)
+        out = S.segment_sum(msg, graph.receivers, graph.num_nodes)
+        out = out + jnp.dot(x, w_root, preferred_element_type=x.dtype)
+        if self.use_bias:
+            out = out + self.param("bias", zeros_init, (self.dim_out,))
+        return graph.replace(node_feat=out)
+
+
 class GeneralConv(nn.Module):
     """GraphGym's configurable conv (contrib/layer/generalconv.py:12-114):
 

@@ -45,6 +45,7 @@ def make_conv(name: str, dim_out: int, gnn_cfg, use_bias: bool) -> nn.Module:
         "sageconv": lambda: L.SAGEConv(**common, combine="sum"),
         "gatconv": lambda: L.GATConv(**common, heads=heads),
         "ginconv": lambda: L.GINConv(dim_out),
+        "splineconv": lambda: L.SplineConv(**common),
         "generalconv": lambda: L.GeneralConv(
             **common, agg=gnn_cfg.agg, self_msg=gnn_cfg.self_msg,
             normalize_adj=gnn_cfg.normalize_adj),
