@@ -1,0 +1,191 @@
+"""Edge-partitioned SpMM with node sharding + halo exchange.
+
+The north-star distributed design (BASELINE.json; no reference
+counterpart — the reference is single-process, SURVEY.md §2/§5.8):
+
+  * Nodes are partitioned contiguously across the mesh's 'edge' axis:
+    chip k owns rows [k*n_loc, (k+1)*n_loc).
+  * Edges are assigned to the OWNER OF THEIR RECEIVER, so every edge's
+    output row is local and the segment-sum never crosses chips.
+  * Each chip needs the features of remote senders (the halo).  A
+    host-side planner computes, per (src, dst) chip pair, the exact
+    boundary node set; at step time one `all_to_all` moves just those
+    rows over ICI — O(boundary) communication instead of the O(N x D)
+    all-reduce of the replicated-table layout in parallel.mesh.
+  * Reduction order within a chip is fixed by the plan (deterministic
+    across runs and mesh sizes up to float reassociation of the final
+    local sums).
+
+Gradients flow through shard_map + all_to_all automatically (the VJP of
+an all_to_all is the reverse all_to_all).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from graphgym_tpu.ops import segment as S
+
+
+def _field(**kw):
+    return dataclasses.field(**kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EdgePartitionPlan:
+    """Host-built partition plan; leading axis = shard.
+
+    senders_ext [Pn, E_loc] int32 — sender position in the chip's
+        extended table [x_local (n_loc rows) ++ halo (Pn*H rows)].
+    receivers_loc [Pn, E_loc] int32 — local output row of each edge.
+    edge_weight [Pn, E_loc] f32 — 0 on padded edge slots.
+    send_idx [Pn, Pn, H] int32 — rows of shard p's local x to ship to
+        each destination shard (padded with 0 — never referenced).
+    n_local: static rows per shard; num_shards: static Pn.
+    """
+    senders_ext: jnp.ndarray
+    receivers_loc: jnp.ndarray
+    edge_weight: jnp.ndarray
+    send_idx: jnp.ndarray
+    n_local: int = _field(metadata=dict(static=True), default=0)
+    num_shards: int = _field(metadata=dict(static=True), default=1)
+
+
+def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
+                        edge_weight: Optional[np.ndarray],
+                        num_nodes: int, num_shards: int
+                        ) -> EdgePartitionPlan:
+    """Build the partition plan on the host (numpy)."""
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    e = len(senders)
+    if edge_weight is None:
+        edge_weight = np.ones(e, np.float32)
+    edge_weight = np.asarray(edge_weight, np.float32)
+    assert num_nodes % num_shards == 0, (
+        f"padded node count {num_nodes} must divide by {num_shards}")
+    n_loc = num_nodes // num_shards
+
+    owner = receivers // n_loc
+    # per-shard edge lists (receiver-owned)
+    per_shard_edges = [np.nonzero(owner == k)[0]
+                       for k in range(num_shards)]
+    e_max = max((len(ix) for ix in per_shard_edges), default=1)
+    e_max = max(e_max, 1)
+
+    # boundary sets: remote senders needed by shard k from shard s
+    needed = [[None] * num_shards for _ in range(num_shards)]
+    h_max = 1
+    for k in range(num_shards):
+        s_k = senders[per_shard_edges[k]]
+        src = s_k // n_loc
+        for s in range(num_shards):
+            if s == k:
+                needed[k][s] = np.zeros(0, np.int64)
+                continue
+            ids = np.unique(s_k[src == s])
+            needed[k][s] = ids
+            h_max = max(h_max, len(ids))
+
+    send_idx = np.zeros((num_shards, num_shards, h_max), np.int32)
+    for s in range(num_shards):
+        for k in range(num_shards):
+            ids = needed[k][s]
+            send_idx[s, k, :len(ids)] = (ids - s * n_loc).astype(
+                np.int32)
+
+    # extended-table positions: [0, n_loc) local; halo block from shard
+    # s occupies [n_loc + s*h_max, n_loc + (s+1)*h_max)
+    senders_ext = np.zeros((num_shards, e_max), np.int32)
+    receivers_loc = np.full((num_shards, e_max), n_loc - 1, np.int32)
+    w_out = np.zeros((num_shards, e_max), np.float32)
+    for k in range(num_shards):
+        ix = per_shard_edges[k]
+        s_k = senders[ix]
+        r_k = receivers[ix]
+        pos = np.empty(len(ix), np.int64)
+        src = s_k // n_loc
+        local = src == k
+        pos[local] = s_k[local] - k * n_loc
+        for s in range(num_shards):
+            if s == k:
+                continue
+            m = src == s
+            if not m.any():
+                continue
+            lookup = {int(v): j for j, v in enumerate(needed[k][s])}
+            pos[m] = np.asarray(
+                [n_loc + s * h_max + lookup[int(v)]
+                 for v in s_k[m]], np.int64)
+        senders_ext[k, :len(ix)] = pos
+        receivers_loc[k, :len(ix)] = (r_k - k * n_loc).astype(np.int32)
+        w_out[k, :len(ix)] = edge_weight[ix]
+
+    return EdgePartitionPlan(
+        senders_ext=jnp.asarray(senders_ext),
+        receivers_loc=jnp.asarray(receivers_loc),
+        edge_weight=jnp.asarray(w_out),
+        send_idx=jnp.asarray(send_idx),
+        n_local=n_loc, num_shards=num_shards)
+
+
+def partitioned_spmm(plan: EdgePartitionPlan, x: jnp.ndarray,
+                     mesh: Mesh, axis: str = "edge") -> jnp.ndarray:
+    """out = A @ x with x, out row-sharded over `axis`; one all_to_all
+    of boundary rows per call."""
+    pn = plan.num_shards
+    n_loc = plan.n_local
+    d = x.shape[-1]
+
+    def local_fn(x_loc, senders_ext, receivers_loc, w, send_idx):
+        # all inputs arrive with the leading shard axis stripped
+        x_loc = x_loc.reshape(n_loc, d)
+        send_idx = send_idx.reshape(pn, -1)
+        senders_ext = senders_ext.reshape(-1)
+        receivers_loc = receivers_loc.reshape(-1)
+        w = w.reshape(-1)
+        send_buf = jnp.take(x_loc, send_idx.reshape(-1),
+                            axis=0).reshape(pn, -1, d)
+        halo = jax.lax.all_to_all(send_buf, axis, split_axis=0,
+                                  concat_axis=0, tiled=False)
+        # halo[s] = the rows shard s sent to me
+        x_ext = jnp.concatenate([x_loc, halo.reshape(-1, d)])
+        msg = jnp.take(x_ext, senders_ext, axis=0) * w[:, None]
+        return S.segment_sum(msg, receivers_loc, n_loc)
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    sharded = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis))
+    return sharded(x, plan.senders_ext, plan.receivers_loc,
+                   plan.edge_weight, plan.send_idx)
+
+
+def halo_stats(plan: EdgePartitionPlan) -> dict:
+    """Communication accounting for the scaling analysis: boundary rows
+    exchanged vs total rows (the replicated layout moves n_total rows
+    per chip per layer via all-reduce)."""
+    send = np.asarray(plan.send_idx)
+    pn = plan.num_shards
+    used = 0
+    for s in range(pn):
+        for k in range(pn):
+            if s != k:
+                col = send[s, k]
+                used += int((col != 0).sum()) + int(col[0] == 0)
+    total = pn * plan.n_local
+    return {"halo_rows": used, "total_rows": total,
+            "halo_fraction": used / max(total, 1)}

@@ -1,0 +1,100 @@
+"""Edge-partitioned SpMM with halo exchange vs single-device oracle
+(8-device virtual CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from graphgym_tpu.parallel.mesh import make_mesh
+from graphgym_tpu.parallel.partition import (EdgePartitionPlan,
+                                             halo_stats,
+                                             partitioned_spmm,
+                                             plan_edge_partition)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh((8,), axis_names=("edge",))
+
+
+def rand_coo(n, e, d, seed=0):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, n, size=e).astype(np.int32)
+    r = rng.integers(0, n, size=e).astype(np.int32)
+    w = rng.random(e).astype(np.float32)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    return s, r, w, x
+
+
+class TestPartitionPlan:
+    def test_plan_shapes(self):
+        s, r, w, x = rand_coo(64, 200, 4)
+        plan = plan_edge_partition(s, r, w, 64, 8)
+        assert plan.n_local == 8 and plan.num_shards == 8
+        assert plan.senders_ext.shape[0] == 8
+        stats = halo_stats(plan)
+        assert 0 < stats["halo_fraction"]
+
+    def test_weight_conservation(self):
+        s, r, w, x = rand_coo(64, 200, 4)
+        plan = plan_edge_partition(s, r, w, 64, 8)
+        np.testing.assert_allclose(
+            float(np.asarray(plan.edge_weight).sum()), float(w.sum()),
+            rtol=1e-5)
+
+
+class TestPartitionedSpMM:
+    def test_matches_dense_oracle(self, mesh):
+        n, e, d = 64, 300, 16
+        s, r, w, x = rand_coo(n, e, d)
+        plan = plan_edge_partition(s, r, w, n, 8)
+        with mesh:
+            xs = jax.device_put(
+                jnp.asarray(x), NamedSharding(mesh, P("edge")))
+            out = jax.jit(lambda x_: partitioned_spmm(plan, x_, mesh))(
+                xs)
+        ref = np.zeros((n, d), np.float32)
+        np.add.at(ref, r, x[s] * w[:, None])
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_gradient_through_halo(self, mesh):
+        n, e, d = 32, 100, 8
+        s, r, w, x = rand_coo(n, e, d, seed=1)
+        plan = plan_edge_partition(s, r, w, n, 8)
+        with mesh:
+            xs = jax.device_put(
+                jnp.asarray(x), NamedSharding(mesh, P("edge")))
+            g = jax.jit(jax.grad(lambda x_: jnp.sum(
+                partitioned_spmm(plan, x_, mesh) ** 2)))(xs)
+        A = np.zeros((n, n), np.float32)
+        np.add.at(A, (r, s), w)
+        gref = 2 * A.T @ (A @ x)
+        np.testing.assert_allclose(np.asarray(g), gref, rtol=1e-3,
+                                   atol=1e-3)
+
+    def test_local_only_graph_no_halo(self, mesh):
+        # every edge stays within one shard's rows -> empty halo
+        n, d = 64, 4
+        n_loc = 8
+        s = np.concatenate([np.arange(k * n_loc, (k + 1) * n_loc)
+                            for k in range(8)]).astype(np.int32)
+        r = np.concatenate([np.roll(np.arange(k * n_loc, (k + 1) * n_loc), 1)
+                            for k in range(8)]).astype(np.int32)
+        x = np.random.default_rng(0).normal(size=(n, d)).astype(
+            np.float32)
+        plan = plan_edge_partition(s, r, None, n, 8)
+        with mesh:
+            xs = jax.device_put(jnp.asarray(x),
+                                NamedSharding(mesh, P("edge")))
+            out = jax.jit(lambda x_: partitioned_spmm(plan, x_, mesh))(
+                xs)
+        ref = np.zeros((n, d), np.float32)
+        np.add.at(ref, r, x[s])
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5,
+                                   atol=1e-5)
