@@ -267,6 +267,7 @@ def set_cfg(cfg: CfgNode) -> CfgNode:
     cfg.tpu.donate_state = True
     cfg.tpu.profile = False          # jax.profiler trace into out_dir
     cfg.tpu.profile_epochs = 3       # epochs to capture when profiling
+    cfg.tpu.remat = False            # jax.checkpoint each MP layer
 
     # contrib auto-import (reference config.py:7 `from
     # graphgym.contrib.config import *`) then user-registered

@@ -133,6 +133,7 @@ class GNNOptions:
     ego: bool = False
     dim_out: int = 2
     tfg_head: bool = False
+    remat: bool = False            # rematerialize MP layers (memory)
     node_encoder: str = ""         # '' = none; else encoder name
     node_encoder_bn: bool = True
     edge_encoder: str = ""
@@ -143,10 +144,15 @@ class GNNOptions:
 def _gnn_layer(opts: GNNOptions, dim_out: int, has_act: bool = True):
     conv = make_conv(opts.layer_type, dim_out, opts,
                      use_bias=not opts.batchnorm)
-    return L.GeneralLayer(conv, dim_out, has_act=has_act,
-                          has_bn=opts.batchnorm, dropout=opts.dropout,
-                          act=opts.act, bn_eps=opts.bn_eps,
-                          bn_mom=opts.bn_mom)
+    cls = L.GeneralLayer
+    if opts.remat:
+        # trade recompute for activation memory (jax.checkpoint over
+        # each MP layer — useful for deep stacks / big ego unions)
+        cls = nn.remat(L.GeneralLayer, static_argnums=(2,))
+    return cls(conv, dim_out, has_act=has_act,
+               has_bn=opts.batchnorm, dropout=opts.dropout,
+               act=opts.act, bn_eps=opts.bn_eps,
+               bn_mom=opts.bn_mom)
 
 
 class GNNStackStage(nn.Module):
@@ -347,6 +353,7 @@ def options_from_cfg(cfg) -> GNNOptions:
         att_heads=cfg.gnn.att_heads,
         l2norm=cfg.gnn.l2norm,
         keep_edge=cfg.gnn.keep_edge,
+        remat=bool(cfg.tpu.get("remat", False)),
         bn_eps=cfg.bn.eps,
         bn_mom=cfg.bn.mom,
         task=cfg.dataset.task,
