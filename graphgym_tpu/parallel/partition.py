@@ -59,6 +59,38 @@ class EdgePartitionPlan:
     num_shards: int = _field(metadata=dict(static=True), default=1)
 
 
+def bfs_ordering(senders: np.ndarray, receivers: np.ndarray,
+                 num_nodes: int) -> np.ndarray:
+    """Locality-improving node permutation: BFS order (component by
+    component), so contiguous row blocks correspond to graph
+    neighborhoods and the partition boundary shrinks.  Returns
+    new_id[old_id]."""
+    indptr = np.zeros(num_nodes + 1, np.int64)
+    np.add.at(indptr, np.asarray(senders) + 1, 1)
+    indptr = np.cumsum(indptr)
+    order = np.argsort(senders, kind="stable")
+    indices = np.asarray(receivers)[order]
+    new_id = np.full(num_nodes, -1, np.int64)
+    nxt = 0
+    for seed in range(num_nodes):
+        if new_id[seed] >= 0:
+            continue
+        queue = [seed]
+        new_id[seed] = nxt
+        nxt += 1
+        head = 0
+        while head < len(queue):
+            u = queue[head]
+            head += 1
+            for v in indices[indptr[u]:indptr[u + 1]]:
+                v = int(v)
+                if new_id[v] < 0:
+                    new_id[v] = nxt
+                    nxt += 1
+                    queue.append(v)
+    return new_id
+
+
 def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
                         edge_weight: Optional[np.ndarray],
                         num_nodes: int, num_shards: int
@@ -171,6 +203,71 @@ def partitioned_spmm(plan: EdgePartitionPlan, x: jnp.ndarray,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis))
     return sharded(x, plan.senders_ext, plan.receivers_loc,
+                   plan.edge_weight, plan.send_idx)
+
+
+def partitioned_attention(plan: EdgePartitionPlan, q: jnp.ndarray,
+                          k: jnp.ndarray, v: jnp.ndarray, mesh: Mesh,
+                          score_fn=None, axis: str = "edge"
+                          ) -> jnp.ndarray:
+    """Edge-softmax attention over the partition (the distributed GAT
+    path).  Because edges are owned by their *receiver's* chip, every
+    row's full incoming edge set is local — the segment softmax needs
+    no cross-chip reduction (no ring pass); only the sender-side k/v
+    halo moves over ICI.
+
+    q, k: [N, H, d] row-sharded; v: [N, H, dv] row-sharded.
+    score_fn(q_e, k_e) -> [E_loc, H]; defaults to scaled dot product.
+    """
+    pn = plan.num_shards
+    n_loc = plan.n_local
+    H, dh = q.shape[1], q.shape[2]
+    dv = v.shape[-1]
+    if score_fn is None:
+        def score_fn(q_e, k_e):
+            return jnp.sum(q_e * k_e, axis=-1) / jnp.sqrt(
+                jnp.asarray(dh, q.dtype))
+
+    def local_fn(q_loc, k_loc, v_loc, senders_ext, receivers_loc, w,
+                 send_idx):
+        q_loc = q_loc.reshape(n_loc, H, dh)
+        k_loc = k_loc.reshape(n_loc, H, dh)
+        v_loc = v_loc.reshape(n_loc, H, dv)
+        send_idx = send_idx.reshape(pn, -1)
+        senders_ext = senders_ext.reshape(-1)
+        receivers_loc = receivers_loc.reshape(-1)
+        w = w.reshape(-1)
+
+        def exchange(t):
+            buf = jnp.take(t, send_idx.reshape(-1), axis=0).reshape(
+                (pn, send_idx.shape[1]) + t.shape[1:])
+            halo = jax.lax.all_to_all(buf, axis, split_axis=0,
+                                      concat_axis=0, tiled=False)
+            return jnp.concatenate(
+                [t, halo.reshape((-1,) + t.shape[1:])])
+
+        k_ext = exchange(k_loc)
+        v_ext = exchange(v_loc)
+        q_e = jnp.take(q_loc, receivers_loc, axis=0)
+        k_e = jnp.take(k_ext, senders_ext, axis=0)
+        alpha = score_fn(q_e, k_e)                        # [E, H]
+        valid = (w != 0)[:, None] & jnp.ones_like(alpha, bool)
+        alpha = S.segment_softmax(alpha, receivers_loc, n_loc,
+                                  mask=valid)
+        msg = jnp.take(v_ext, senders_ext, axis=0) * alpha[..., None]
+        return S.segment_sum(msg, receivers_loc, n_loc)
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    sharded = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis)),
+        out_specs=P(axis))
+    return sharded(q, k, v, plan.senders_ext, plan.receivers_loc,
                    plan.edge_weight, plan.send_idx)
 
 

@@ -78,6 +78,35 @@ class TestPartitionedSpMM:
         np.testing.assert_allclose(np.asarray(g), gref, rtol=1e-3,
                                    atol=1e-3)
 
+    def test_partitioned_attention_matches_single(self, mesh):
+        from graphgym_tpu.parallel.partition import \
+            partitioned_attention
+        from graphgym_tpu.ops import segment as S
+
+        n, e, H, dh = 32, 120, 2, 4
+        rng = np.random.default_rng(2)
+        s = rng.integers(0, n, size=e).astype(np.int32)
+        r = rng.integers(0, n, size=e).astype(np.int32)
+        q = rng.normal(size=(n, H, dh)).astype(np.float32)
+        k = rng.normal(size=(n, H, dh)).astype(np.float32)
+        v = rng.normal(size=(n, H, dh)).astype(np.float32)
+        plan = plan_edge_partition(s, r, None, n, 8)
+        with mesh:
+            sh = NamedSharding(mesh, P("edge"))
+            out = jax.jit(lambda q_, k_, v_: partitioned_attention(
+                plan, q_, k_, v_, mesh))(
+                jax.device_put(jnp.asarray(q), sh),
+                jax.device_put(jnp.asarray(k), sh),
+                jax.device_put(jnp.asarray(v), sh))
+        # single-device oracle
+        score = np.sum(q[r] * k[s], -1) / np.sqrt(dh)
+        alpha = np.asarray(S.segment_softmax(
+            jnp.asarray(score), jnp.asarray(r), n))
+        ref = np.zeros((n, H, dh), np.float32)
+        np.add.at(ref, r, v[s] * alpha[..., None])
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
+                                   atol=1e-4)
+
     def test_local_only_graph_no_halo(self, mesh):
         # every edge stays within one shard's rows -> empty halo
         n, d = 64, 4
