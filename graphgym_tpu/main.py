@@ -75,8 +75,11 @@ def main(argv=None):
     # aggregate across seeds (reference main.py:60-61 agg_runs)
     try:
         from graphgym_tpu.config import get_parent_dir
+        metric = cfg.metric_best if cfg.metric_best != "auto" \
+            else ("accuracy" if "classification" in cfg.dataset.task_type
+                  else "mae")
         agg_runs(get_parent_dir(out_dir_parent, args.cfg_file),
-                 metric="accuracy")
+                 metric=metric, metric_agg=cfg.metric_agg)
     except Exception as e:  # aggregation is best-effort
         logging.warning("agg_runs failed: %s", e)
     if args.mark_done:
