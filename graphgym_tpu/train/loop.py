@@ -160,6 +160,34 @@ class Trainer:
         total = max(sum(counts), 1)
         return float(sum(a * c for a, c in zip(accs, counts)) / total)
 
+    def _dump_embeddings(self):
+        """PCA scatter of post-MP node embeddings (reference
+        utils/plot.py:13-36 view_emb, gated by cfg.view_emb)."""
+        from graphgym_tpu.utils.plot import view_emb
+
+        batch = self.loaders[-1].batches(0)[0]
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        _, inter = self.model.apply(
+            variables, batch, False, mutable=["intermediates"],
+            capture_intermediates=True)
+        emb = None
+        mp = inter.get("intermediates", {}).get("mp")
+        if mp:
+            out = mp.get("__call__")
+            if out:
+                g = out[0]
+                while isinstance(g, (tuple, list)):
+                    g = g[0]
+                emb = np.asarray(g.node_feat)
+        if emb is None:
+            return
+        mask = np.asarray(batch.node_mask)
+        labels = np.asarray(batch.node_label) if batch.node_label \
+            is not None else np.zeros(len(mask))
+        path = view_emb(emb[mask], labels[mask], self.cfg.out_dir)
+        logging.info("embedding viz saved to %s", path)
+
     def run(self, loggers: Optional[List[Logger]] = None) -> Dict:
         cfg = self.cfg
         start_epoch = 0
@@ -211,6 +239,8 @@ class Trainer:
                 ckpt.save_ckpt(self.state, cfg.out_dir, epoch)
         if profiling:
             jax.profiler.stop_trace()
+        if cfg.view_emb:
+            self._dump_embeddings()
         if cfg.train.ckpt_clean:
             ckpt.clean_ckpt(cfg.out_dir)
         best = max(val_curve, key=lambda t: t[1]) if val_curve else (0, 0.0)
