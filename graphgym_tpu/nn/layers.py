@@ -425,11 +425,13 @@ class GINConv(nn.Module):
 def _gin_mlp(mod: nn.Module, h: jnp.ndarray, prefix: str, dim_out: int,
              with_bn: bool, node_mask, train: bool) -> jnp.ndarray:
     """2-layer GIN MLP: Dense->ReLU->Dense (reference layer.py:168-169;
-    the Tfg variant appends BN+ReLU, main_zd.py:181-186)."""
-    w1 = mod.param(f"{prefix}_w1", glorot, (h.shape[-1], dim_out))
-    b1 = mod.param(f"{prefix}_b1", zeros_init, (dim_out,))
-    w2 = mod.param(f"{prefix}_w2", glorot, (dim_out, dim_out))
-    b2 = mod.param(f"{prefix}_b2", zeros_init, (dim_out,))
+    the Tfg variant appends BN+ReLU, main_zd.py:181-186).  Weight names
+    contain 'kernel' so the Tfg L2 regularizer covers them (reference
+    loss.py:65 matches tf Dense kernels)."""
+    w1 = mod.param(f"{prefix}_kernel1", glorot, (h.shape[-1], dim_out))
+    b1 = mod.param(f"{prefix}_bias1", zeros_init, (dim_out,))
+    w2 = mod.param(f"{prefix}_kernel2", glorot, (dim_out, dim_out))
+    b2 = mod.param(f"{prefix}_bias2", zeros_init, (dim_out,))
     h = jax.nn.relu(jnp.dot(h, w1, preferred_element_type=h.dtype) + b1)
     h = jnp.dot(h, w2, preferred_element_type=h.dtype) + b2
     if with_bn:

@@ -106,9 +106,9 @@ class TestGINConv:
         for si, ri in zip(s, r):
             agg[ri] += x[si]
         h = x + agg  # eps=0
-        h = np.maximum(h @ np.asarray(p["mlp_w1"]) + np.asarray(p["mlp_b1"]),
+        h = np.maximum(h @ np.asarray(p["mlp_kernel1"]) + np.asarray(p["mlp_bias1"]),
                        0)
-        ref = h @ np.asarray(p["mlp_w2"]) + np.asarray(p["mlp_b2"])
+        ref = h @ np.asarray(p["mlp_kernel2"]) + np.asarray(p["mlp_bias2"])
         np.testing.assert_allclose(np.asarray(out.node_feat)[:n], ref,
                                    rtol=1e-4, atol=1e-4)
 
