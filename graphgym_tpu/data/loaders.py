@@ -328,16 +328,20 @@ def split_dataset(graphs: List[HostGraph], cfg,
                 # message edges: train edges for every split
                 gg.edge_index = msg_edges.astype(np.int32)
                 gg._csr_indptr = gg._csr_indices = None
-                neg = negative_sampling(
-                    g.edge_index, g.num_nodes,
-                    int(pos.shape[1] *
-                        (cfg.dataset.edge_negative_sampling_ratio
-                         if si == 0 else 1.0)), rng)
+                num_neg = int(pos.shape[1] *
+                              (cfg.dataset.edge_negative_sampling_ratio
+                               if si == 0 else 1.0))
+                neg = negative_sampling(g.edge_index, g.num_nodes,
+                                        num_neg, rng)
                 eli = np.concatenate([pos, neg], axis=1)
                 el = np.concatenate([np.ones(pos.shape[1]),
                                      np.zeros(neg.shape[1])])
                 gg["edge_label_index"] = eli.astype(np.int32)
                 gg["edge_label"] = el.astype(np.int64)
+                if si == 0 and cfg.dataset.resample_negative:
+                    # loader re-draws the negative half each epoch
+                    # (reference config.py:162-163)
+                    gg["_pos_pairs"] = pos.astype(np.int32)
                 splits[si].append(gg)
         else:
             raise ValueError(
@@ -538,10 +542,25 @@ class GraphLoader:
         return (len(self.graphs) + self.batch_size - 1) // self.batch_size
 
     def batches(self, epoch: int = 0) -> List[GraphBatch]:
+        resample = (self.shuffle
+                    and self.cfg.dataset.resample_negative
+                    and any("_pos_pairs" in g for g in self.graphs))
+        if resample:
+            from graphgym_tpu.data.transforms import negative_sampling
+            for g in self.graphs:
+                if "_pos_pairs" not in g:
+                    continue
+                pos = g["_pos_pairs"]
+                eli = np.asarray(g["edge_label_index"])
+                num_neg = eli.shape[1] - pos.shape[1]
+                neg = negative_sampling(g.edge_index, g.num_nodes,
+                                        num_neg, self.rng)
+                g["edge_label_index"] = np.concatenate(
+                    [pos, neg], axis=1).astype(np.int32)
         # With a single batch per epoch shuffling cannot change batch
         # composition; collate once and reuse (keeps host work out of
         # the epoch loop).
-        static = not self.shuffle or len(self) == 1
+        static = (not self.shuffle or len(self) == 1) and not resample
         if static and getattr(self, "_cached", None) is not None:
             return self._cached
         order = np.arange(len(self.graphs))

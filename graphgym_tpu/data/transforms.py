@@ -181,4 +181,12 @@ def negative_sampling(edge_index: np.ndarray, num_nodes: int,
         if u != v and (u, v) not in existing:
             existing.add((u, v))
             out.append((u, v))
+    # dense graphs can exhaust rejection sampling; keep the count static
+    # (callers rely on fixed shapes) by filling with random non-self
+    # pairs even if they collide with edges
+    while len(out) < num_samples:
+        u = int(rng.integers(0, num_nodes))
+        v = int(rng.integers(0, num_nodes))
+        if u != v:
+            out.append((u, v))
     return np.array(out, np.int32).reshape(-1, 2).T
