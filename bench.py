@@ -82,6 +82,55 @@ def bench_spmm(num_nodes=131072, num_edges=2_000_000, dim=128,
     return num_edges * iters / dt
 
 
+def bench_train_epoch(layer="Tfg-idgcn", impl="pallas", epochs=5):
+    """Steady-state training epoch time on the ID-GCN/ws workload."""
+    import jax
+    import numpy as np
+
+    from graphgym_tpu.config import get_cfg
+    from graphgym_tpu.data.loaders import create_dataset, create_loader
+    from graphgym_tpu.nn.model import build_model
+    from graphgym_tpu.train.logger import Logger
+    from graphgym_tpu.train.loop import Trainer
+
+    cfg = get_cfg()
+    cfg.merge_from_dict({
+        "dataset": {"format": "nx", "name": "ws", "task": "node",
+                    "transductive": False, "split": [0.8, 0.2],
+                    "augment_label": "node_clustering_coefficient",
+                    "augment_label_dims": 10, "transform": "ego"},
+        "gnn": {"layers_mp": 3, "dim_inner": 128, "layer_type": layer},
+        "train": {"batch_size": 128},
+        "tpu": {"spmm_impl": impl},
+        "optim": {"scheduler": "none"}})
+    np.random.seed(1)
+    splits = create_dataset(cfg)
+    loaders = create_loader(splits, cfg)
+    tr = Trainer(build_model(cfg), loaders, cfg)
+    edges = sum(int(b.count_real_edges())
+                for b in loaders[0].batches(0))
+    tr.train_epoch(Logger("warmup"), 0)  # compile
+    t0 = time.perf_counter()
+    for ep in range(epochs):
+        tr.train_epoch(Logger("t"), ep)
+    dt = (time.perf_counter() - t0) / epochs
+    return dt, edges / dt
+
+
+def run_suite(out_path="BENCH_DETAILS.json"):
+    details = {}
+    for impl in ("xla", "pallas"):
+        details[f"spmm_fwd_bwd_{impl}_edges_per_s"] = round(
+            bench_spmm(impl=impl), 1)
+    for impl in ("xla", "pallas"):
+        dt, eps = bench_train_epoch(impl=impl)
+        details[f"idgcn_ws_epoch_s_{impl}"] = round(dt, 4)
+        details[f"idgcn_ws_train_edges_per_s_{impl}"] = round(eps, 1)
+    with open(out_path, "w") as f:
+        json.dump(details, f, indent=1)
+    return details
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--nodes", type=int, default=131072)
@@ -89,7 +138,14 @@ def main():
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
+    p.add_argument("--suite", action="store_true",
+                   help="also run the extended suite -> "
+                        "BENCH_DETAILS.json")
     args = p.parse_args()
+
+    if args.suite:
+        details = run_suite()
+        print(json.dumps(details, indent=1))
 
     edges_per_s = bench_spmm(args.nodes, args.edges, args.dim,
                              args.iters, args.impl)

@@ -53,7 +53,8 @@ def _agg_dict_list(dict_list: List[Dict], round_digits: int = 4) -> Dict:
 
 
 def agg_runs(parent_dir: str, metric: str = "accuracy",
-             metric_agg: str = "argmax") -> Optional[Dict]:
+             metric_agg: str = "argmax",
+             tensorboard: bool = False) -> Optional[Dict]:
     """Aggregate over seed subdirectories of parent_dir."""
     seed_dirs = [d for d in sorted(os.listdir(parent_dir))
                  if d.isdigit() and
@@ -93,10 +94,23 @@ def agg_runs(parent_dir: str, metric: str = "accuracy",
         os.makedirs(os.path.join(agg_dir, s), exist_ok=True)
         # align epochs across seeds
         num_epochs = min(len(run) for run in per_split[s])
+        tb = None
+        if tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+                tb = SummaryWriter(os.path.join(agg_dir, s))
+            except Exception:
+                tb = None
         with open(os.path.join(agg_dir, s, "stats.json"), "w") as f:
             for ei in range(num_epochs):
                 agg = _agg_dict_list([run[ei] for run in per_split[s]])
                 f.write(json.dumps(agg) + "\n")
+                if tb is not None:
+                    for k, v in agg.items():
+                        if isinstance(v, (int, float)) and k != "epoch":
+                            tb.add_scalar(k, v, agg.get("epoch", ei))
+        if tb is not None:
+            tb.close()
         if best_per_seed[s]:
             best = _agg_dict_list(best_per_seed[s])
             with open(os.path.join(agg_dir, s, "best.json"), "w") as f:

@@ -79,7 +79,8 @@ def main(argv=None):
             else ("accuracy" if "classification" in cfg.dataset.task_type
                   else "mae")
         agg_runs(get_parent_dir(out_dir_parent, args.cfg_file),
-                 metric=metric, metric_agg=cfg.metric_agg)
+                 metric=metric, metric_agg=cfg.metric_agg,
+                 tensorboard=cfg.tensorboard_agg)
     except Exception as e:  # aggregation is best-effort
         logging.warning("agg_runs failed: %s", e)
     if args.mark_done:

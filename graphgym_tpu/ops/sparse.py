@@ -35,6 +35,13 @@ def spmm(senders: jnp.ndarray, receivers: jnp.ndarray,
     contrib/layer/generalconv.py:18).
     """
     if implementation == "pallas" and reduce == "sum":
+        import jax.core
+        if isinstance(senders, jax.core.Tracer):
+            raise ValueError(
+                "spmm(implementation='pallas') packs edges on the host "
+                "and cannot run on traced indices inside jit; carry "
+                "PackedCSR layouts in the GraphBatch instead "
+                "(cfg.tpu.spmm_impl='pallas' + graphs.packing)")
         from graphgym_tpu.ops.pallas import spmm_kernel
         return spmm_kernel.spmm_pallas(senders, receivers, edge_weight, x,
                                        num_nodes)
