@@ -208,6 +208,24 @@ class GATIDConv(nn.Module):
         h = sp.apply_id_weights(x, idx, w, w_id, id_mask)
         h = h.reshape(n, self.heads, per_head)
 
+        if self.att_dropout == 0:
+            from graphgym_tpu.nn.layers import packed_attention
+
+            def score(h_i, h_j):
+                a = jnp.sum(jnp.concatenate([h_i, h_j], -1)
+                            * att[None], axis=-1)
+                return jax.nn.leaky_relu(
+                    a, negative_slope=self.negative_slope)
+
+            packed = packed_attention(graph, h, score)
+            if packed is not None:
+                out = packed.reshape(n, self.dim_out) \
+                    if self.concat_heads else jnp.mean(packed, axis=1)
+                if self.use_bias:
+                    out = out + self.param("bias", zeros_init,
+                                           (out.shape[-1],))
+                return graph.replace(node_feat=out)
+
         loop = jnp.arange(n, dtype=graph.senders.dtype)
         senders = jnp.concatenate([graph.senders, loop])
         receivers = jnp.concatenate([graph.receivers, loop])
@@ -264,6 +282,24 @@ class TfgIDGAT(nn.Module):
         q = act_dict[self.query_act](x @ wq + bq).reshape(n, self.heads, dh)
         k = act_dict[self.key_act](x @ wk + bk).reshape(n, self.heads, dh)
         v = sp.apply_id_weights(x, idx, wv, wv_id, id_mask)
+
+        if self.att_dropout == 0 and self.split_value_heads \
+                and self.dim_out % self.heads == 0:
+            from graphgym_tpu.nn.layers import packed_attention
+            scale = jnp.sqrt(jnp.asarray(dh, x.dtype))
+
+            def score(q_i, k_j):
+                return jnp.sum(q_i * k_j, axis=-1) / scale
+
+            vh = v.reshape(n, self.heads, self.dim_out // self.heads)
+            packed = packed_attention(graph, q, score, values=vh,
+                                      keys=k)
+            if packed is not None:
+                out = packed.reshape(n, self.dim_out)
+                if self.use_bias:
+                    out = out + self.param("bias", zeros_init,
+                                           (self.dim_out,))
+                return graph.replace(node_feat=out)
 
         loop = jnp.arange(n, dtype=graph.senders.dtype)
         senders = jnp.concatenate([graph.senders, loop])
