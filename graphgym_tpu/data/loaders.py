@@ -557,10 +557,27 @@ class GraphLoader:
                                         num_neg, self.rng)
                 g["edge_label_index"] = np.concatenate(
                     [pos, neg], axis=1).astype(np.int32)
+        sample_node = (self.shuffle and self.cfg.train.sample_node
+                       and self.cfg.dataset.task == "node")
+        if sample_node:
+            # per-epoch node subsampling (reference cfg.train.sample_node
+            # / node_per_graph, config.py:218-221): supervise a fresh
+            # random subset of node_per_graph nodes per graph
+            k = self.cfg.train.node_per_graph
+            for g in self.graphs:
+                base = g.get("_full_label_index")
+                if base is None:
+                    base = np.asarray(g.get("node_label_index",
+                                            np.arange(g.num_nodes)))
+                    g["_full_label_index"] = base
+                sel = self.rng.choice(base, size=min(k, len(base)),
+                                      replace=False)
+                g["node_label_index"] = np.sort(sel)
         # With a single batch per epoch shuffling cannot change batch
         # composition; collate once and reuse (keeps host work out of
         # the epoch loop).
-        static = (not self.shuffle or len(self) == 1) and not resample
+        static = (not self.shuffle or len(self) == 1) and not resample \
+            and not sample_node
         if static and getattr(self, "_cached", None) is not None:
             return self._cached
         order = np.arange(len(self.graphs))
