@@ -180,3 +180,19 @@ def agg_batch(batch_dir: str, metric: str = "accuracy") -> None:
                   rows_bestepoch.get(split, []))
     logging.info("agg_batch: wrote CSVs for %d runs to %s",
                  len(run_dirs), agg_dir)
+
+
+def main(argv=None):
+    """CLI (reference run/agg_batch.py): aggregate a batch directory."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="aggregate batch results")
+    p.add_argument("dir", help="batch results directory")
+    p.add_argument("--metric", default="accuracy")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    agg_batch(args.dir, metric=args.metric)
+
+
+if __name__ == "__main__":
+    main()
