@@ -636,8 +636,10 @@ class GraphLoader:
         else:
             li = None
         if edge_labels:
-            kw["edge_label"] = _pad1(np.concatenate(edge_labels),
-                                     self.pad_edge_labels, 0)
+            el = np.concatenate(edge_labels)
+            kw["edge_label"] = _pad1(el, self.pad_edge_labels, 0)
+            kw["edge_label_mask"] = _pad1(
+                np.ones(len(el), bool), self.pad_edge_labels, False)
         if edge_label_idx:
             eli = np.concatenate(edge_label_idx, axis=1)
             pad_node = self.pad_nodes - 1
@@ -705,6 +707,7 @@ class SamplerLoader(GraphLoader):
 
     def __init__(self, graphs, cfg, *, batch_size, rng=None):
         self.base_graphs = list(graphs)
+        self.cfg = cfg  # needed by _draw before super().__init__
         self.sample_rng = rng or np.random.default_rng(cfg.seed)
         first = self._draw(0)
         super().__init__(first, cfg, batch_size=batch_size,

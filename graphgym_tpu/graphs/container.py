@@ -77,6 +77,7 @@ class GraphBatch:
     label_mask: Optional[jnp.ndarray] = None
     edge_label: Optional[jnp.ndarray] = None
     edge_label_index: Optional[jnp.ndarray] = None
+    edge_label_mask: Optional[jnp.ndarray] = None
     graph_label: Optional[jnp.ndarray] = None
     graph_mask: Optional[jnp.ndarray] = None
     node_id_index: Optional[jnp.ndarray] = None
@@ -184,6 +185,7 @@ def build_graph_batch(
     node_label_index: Optional[np.ndarray] = None,
     edge_label: Optional[np.ndarray] = None,
     edge_label_index: Optional[np.ndarray] = None,
+    edge_label_mask: Optional[np.ndarray] = None,
     graph_label: Optional[np.ndarray] = None,
     node_id_index: Optional[np.ndarray] = None,
     pad_nodes_to: Optional[int] = None,
@@ -241,6 +243,8 @@ def build_graph_batch(
         kw["edge_label"] = np.asarray(edge_label)
     if edge_label_index is not None:
         kw["edge_label_index"] = np.asarray(edge_label_index, np.int32)
+    if edge_label_mask is not None:
+        kw["edge_label_mask"] = np.asarray(edge_label_mask, bool)
     if graph_label is not None:
         kw["graph_label"] = pad_to(np.asarray(graph_label), num_graphs, 0)
         g_real = int(np.asarray(graph_label).shape[0])

@@ -15,7 +15,24 @@ def _lrelu(slope):
     return f
 
 
-act_dict = {
+class _ActDict(dict):
+    """Falls back to the plugin registry (register.register_act) so
+    contrib activations resolve by name."""
+
+    def __missing__(self, key):
+        from graphgym_tpu import register
+
+        if key in register.act_dict:
+            return register.act_dict[key]
+        raise KeyError(key)
+
+    def __contains__(self, key):
+        from graphgym_tpu import register
+
+        return dict.__contains__(self, key) or key in register.act_dict
+
+
+act_dict = _ActDict({
     "relu": jax.nn.relu,
     "selu": jax.nn.selu,
     "elu": jax.nn.elu,
@@ -28,4 +45,4 @@ act_dict = {
     "identity": lambda x: x,
     "tanh": jnp.tanh,
     "sigmoid": jax.nn.sigmoid,
-}
+})

@@ -23,7 +23,14 @@ HeadOut = Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]
 def global_pool(x, graph_ids, num_graphs, kind="add", node_mask=None,
                 id_index=None, id_mask=None):
     """Global add/mean/max pooling; with ``id_index`` set, pools only the
-    ego-net centers (reference pooling.py:12-33 'ego' branch)."""
+    ego-net centers (reference pooling.py:12-33 'ego' branch).  Custom
+    poolings resolve from register.pooling_dict."""
+    from graphgym_tpu import register
+
+    if kind in register.pooling_dict:
+        return register.pooling_dict[kind](
+            x, graph_ids, num_graphs, node_mask=node_mask,
+            id_index=id_index, id_mask=id_mask)
     if id_index is not None:
         x = jnp.take(x, id_index, axis=0)
         graph_ids = jnp.take(graph_ids, id_index, axis=0)
@@ -98,7 +105,7 @@ class GNNEdgeHead(nn.Module):
             else:
                 raise ValueError(
                     f"Unknown edge decoding {self.decoding}")
-        return pred, graph.edge_label, None
+        return pred, graph.edge_label, graph.edge_label_mask
 
 
 class GNNGraphHead(nn.Module):

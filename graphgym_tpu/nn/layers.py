@@ -217,6 +217,10 @@ class SAGEConv(nn.Module):
     @nn.compact
     def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
         x = graph.node_feat
+        if self.combine == "concat":
+            assert self.dim_out % 2 == 0, (
+                "SAGEConv concat needs an even dim_out (tfg: 'units "
+                "must be an even number if concat is True')")
         d = self.dim_out // 2 if self.combine == "concat" else self.dim_out
         w_self = self.param("self_kernel", glorot, (x.shape[-1], d))
         w_nb = self.param("neighbor_kernel", glorot, (x.shape[-1], d))
@@ -560,6 +564,17 @@ class GeneralEdgeConv(nn.Module):
         w_msg = self.param("msg_kernel", glorot,
                            (feat.shape[-1], self.dim_out))
         msg = jnp.dot(feat, w_msg, preferred_element_type=x.dtype)
+        if self.normalize_adj:
+            # sym-norm weighting of messages (reference
+            # generalconv.py:203-209 scales msg by norm; computed over
+            # the existing edge set — self-loops are not appended here
+            # because edge features for them don't exist)
+            deg = sp.degree(receivers,
+                            edge_mask.astype(msg.dtype),
+                            graph.num_nodes)
+            dis = sp.inv_sqrt_degree(deg)
+            norm = dis[receivers] * dis[senders]
+            msg = msg * norm[:, None]
         msg = jnp.where(edge_mask[:, None], msg, 0.0)
         reduce = {"add": "sum", "mean": "mean", "max": "max"}[self.agg]
         h_msg = S.segment_sum(msg, receivers, graph.num_nodes) \

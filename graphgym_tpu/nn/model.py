@@ -281,7 +281,9 @@ class GNN(nn.Module):
             if stage is None:
                 stage = register.stage_dict[opts.stage_type]
             graph = stage(opts, name="mp")(graph, train)
-        if opts.tfg_head:
+        if opts.task in register.head_dict:
+            head = register.head_dict[opts.task](opts, name="post_mp")
+        elif opts.tfg_head:
             head = TfgMLPHead(opts.dim_out, name="post_mp")
         elif opts.task == "node":
             head = GNNNodeHead(opts.dim_out,

@@ -55,6 +55,7 @@ class EdgePartitionPlan:
     receivers_loc: jnp.ndarray
     edge_weight: jnp.ndarray
     send_idx: jnp.ndarray
+    halo_counts: jnp.ndarray = None   # [Pn, Pn] real boundary rows
     n_local: int = _field(metadata=dict(static=True), default=0)
     num_shards: int = _field(metadata=dict(static=True), default=1)
 
@@ -128,11 +129,13 @@ def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
             h_max = max(h_max, len(ids))
 
     send_idx = np.zeros((num_shards, num_shards, h_max), np.int32)
+    halo_counts = np.zeros((num_shards, num_shards), np.int64)
     for s in range(num_shards):
         for k in range(num_shards):
             ids = needed[k][s]
             send_idx[s, k, :len(ids)] = (ids - s * n_loc).astype(
                 np.int32)
+            halo_counts[s, k] = len(ids)
 
     # extended-table positions: [0, n_loc) local; halo block from shard
     # s occupies [n_loc + s*h_max, n_loc + (s+1)*h_max)
@@ -166,6 +169,7 @@ def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
         receivers_loc=jnp.asarray(receivers_loc),
         edge_weight=jnp.asarray(w_out),
         send_idx=jnp.asarray(send_idx),
+        halo_counts=jnp.asarray(halo_counts),
         n_local=n_loc, num_shards=num_shards)
 
 
@@ -275,14 +279,7 @@ def halo_stats(plan: EdgePartitionPlan) -> dict:
     """Communication accounting for the scaling analysis: boundary rows
     exchanged vs total rows (the replicated layout moves n_total rows
     per chip per layer via all-reduce)."""
-    send = np.asarray(plan.send_idx)
-    pn = plan.num_shards
-    used = 0
-    for s in range(pn):
-        for k in range(pn):
-            if s != k:
-                col = send[s, k]
-                used += int((col != 0).sum()) + int(col[0] == 0)
-    total = pn * plan.n_local
+    used = int(np.asarray(plan.halo_counts).sum())
+    total = plan.num_shards * plan.n_local
     return {"halo_rows": used, "total_rows": total,
             "halo_fraction": used / max(total, 1)}

@@ -114,9 +114,13 @@ class Trainer:
             size_average=cfg.model.size_average,
             l2_kernel=5e-4 if tfg else 0.0,
             thresh=cfg.model.thresh)
+        from graphgym_tpu.train.optim import make_lr_schedule
+
         steps_per_epoch = max(len(loaders[0]), 1)
         self.optimizer = create_optimizer(cfg.optim, steps_per_epoch,
                                           use_loss_l2=tfg)
+        self.lr_schedule = make_lr_schedule(cfg.optim, steps_per_epoch)
+        self.task_type = cfg.dataset.task_type
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(rng)
         example = loaders[0].batches(0)[0]
@@ -137,17 +141,27 @@ class Trainer:
             label_h, score_h = _to_host(score, label, mask)
             logger.update_stats(
                 true=label_h, pred=score_h, loss=float(loss),
-                lr=self.cfg.optim.base_lr,
+                lr=float(self.lr_schedule(int(self.state.step) - 1)),
                 time_used=time.time() - t0, params=self.cfg.params)
             t0 = time.time()
 
     def eval_epoch(self, logger: Optional[Logger], split: int) -> float:
+        """Returns the epoch's model-selection score: accuracy for
+        classification, negative MSE for regression (so argmax-style
+        best-epoch selection works for both)."""
         accs, losses, counts = [], [], []
         t0 = time.time()
+        regression = self.task_type == "regression"
         for batch in self.loaders[split].batches(0):
             loss, score, label, mask = self.eval_step(self.state, batch)
             label_h, score_h = _to_host(score, label, mask)
-            accs.append(masked_accuracy(score_h, label_h))
+            if regression:
+                accs.append(-float(np.mean(
+                    (score_h.astype(np.float64)
+                     - label_h.astype(np.float64)) ** 2))
+                    if len(label_h) else 0.0)
+            else:
+                accs.append(masked_accuracy(score_h, label_h))
             counts.append(len(label_h))
             losses.append(float(loss))
             if logger is not None:

@@ -40,6 +40,14 @@ def compute_loss(pred: jnp.ndarray, true: jnp.ndarray,
         mask = jnp.ones(pred.shape[:1], bool)
     count = jnp.maximum(jnp.sum(mask.astype(pred.dtype)), 1.0)
 
+    # custom loss hook (reference loss.py:31-34): first registered
+    # function returning non-None wins
+    from graphgym_tpu import register
+    for func in register.loss_dict.values():
+        value = func(pred, true, mask, opts)
+        if value is not None:
+            return value
+
     if opts.loss_fun == "cross_entropy":
         if pred.ndim > 1:
             logp = jax.nn.log_softmax(pred, axis=-1)

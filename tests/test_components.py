@@ -156,6 +156,41 @@ class TestSamplers:
         total = sum(p.num_nodes for p in parts)
         assert total == 50
 
+    @pytest.mark.parametrize("sampler", ["neighbor", "saint_node",
+                                         "cluster"])
+    def test_sampler_loader_trains_end_to_end(self, sampler):
+        """Regression: SamplerLoader must work through create_loader +
+        a real training epoch (was crashing on self.cfg ordering)."""
+        import jax
+
+        from graphgym_tpu.data.loaders import (create_dataset,
+                                               create_loader)
+        from graphgym_tpu.nn.model import build_model
+        from graphgym_tpu.train.logger import Logger
+        from graphgym_tpu.train.loop import Trainer
+
+        cfg = get_cfg()
+        cfg.merge_from_dict({
+            "dataset": {"format": "nx", "name": "ws", "task": "node",
+                        "transductive": True, "split": [0.8, 0.2],
+                        "augment_label": "node_clustering_coefficient",
+                        "augment_label_dims": 4},
+            "gnn": {"layers_mp": 1, "dim_inner": 8,
+                    "layer_type": "gcnconv"},
+            "train": {"sampler": sampler, "iter_per_epoch": 2,
+                      "batch_size": 2, "node_per_graph": 8,
+                      "neighbor_sizes": [3, 3]},
+            "optim": {"scheduler": "none"}})
+        np.random.seed(0)
+        splits = create_dataset(cfg)
+        loaders = create_loader([p[:1] for p in splits], cfg)
+        tr = Trainer(build_model(cfg), loaders, cfg,
+                     rng=jax.random.PRNGKey(0))
+        lg = Logger("t")
+        tr.train_epoch(lg, 0)
+        assert lg._size_current > 0
+        assert np.isfinite(lg._loss)
+
 
 class TestBudget:
     def test_match_computation(self):

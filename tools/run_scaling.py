@@ -59,14 +59,14 @@ def main():
     p.add_argument("--iters", type=int, default=5)
     args = p.parse_args()
 
+    # must happen before the first jax backend initialization
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count="
+            f"{args.devices}").strip()
+
     import jax
-
-    if jax.default_backend() == "cpu" or len(jax.devices()) < \
-            args.devices:
-        os.environ.setdefault(
-            "XLA_FLAGS", "--xla_force_host_platform_device_count="
-            f"{args.devices}")
-
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
