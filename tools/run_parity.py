@@ -43,25 +43,60 @@ MODELS = {
 }
 
 
+# The fork's artifact names span two eras (main_zd.py:326-328 evolved):
+# Tfg-gcn / Tfg-idgcn / Tfg-idgcnfast for gcn+gat, and
+# gnn-Tfg-sageconv / gnn-Tfg-idsage / gnn-idTfg-sageconvFast for
+# sage+gin.  Try every known spelling.
+_ARTIFACT_NAMES = {
+    "gcnconv": ["Tfg-gcn", "gnn-Tfg-gcnconv"],
+    "gatconv": ["Tfg-gat", "gnn-Tfg-gatconv"],
+    "sageconv": ["gnn-Tfg-sageconv", "Tfg-sage"],
+    "ginconv": ["gnn-Tfg-ginconv", "Tfg-gin"],
+    "idgcn": ["Tfg-idgcn", "gnn-Tfg-idgcn"],
+    "idgat": ["Tfg-idgat", "gnn-Tfg-idgat"],
+    "idsage": ["gnn-Tfg-idsage", "Tfg-idsage"],
+    "idgin": ["gnn-Tfg-idgin", "Tfg-idgin"],
+    "gcnconvFast": ["Tfg-idgcnfast", "gnn-idTfg-gcnconvFast"],
+    "gatconvFast": ["Tfg-idgatfast", "gnn-idTfg-gatconvFast"],
+    "sageconvFast": ["gnn-idTfg-sageconvFast", "Tfg-idsagefast"],
+    "ginconvFast": ["gnn-idTfg-ginconvFast", "Tfg-idginfast"],
+}
+
+
 def reference_acc(model_key: str, dataset: str):
     """Mean-of-best-val accuracy the reference recorded for this
-    config (results/val/final)."""
-    # the fork names Fast results id<layer>Fast (main_zd.py:326)
-    base = {"gcnconvFast": "Tfg-idgcnconvFast",
-            "gatconvFast": "Tfg-idgatconvFast",
-            "sageconvFast": "Tfg-idsageconvFast",
-            "ginconvFast": "Tfg-idginconvFast"}.get(
-        model_key, MODELS[model_key][1])
-    cand = [
-        f"{REF}/results/val/final/{base}_{dataset}_avg_acc.txt",
-        f"{REF}/results/val/final/{MODELS[model_key][1]}_{dataset}"
-        f"_avg_acc.txt",
-    ]
-    # fast variants are recorded as id<conv>Fast, e.g. Tfg-idgcnconvFast
-    for p in cand:
+    config (results/val/final, written by main_zd.py:326-328)."""
+    for base in _ARTIFACT_NAMES.get(model_key, [MODELS[model_key][1]]):
+        p = f"{REF}/results/val/final/{base}_{dataset}_avg_acc.txt"
         if os.path.exists(p):
             return float(np.loadtxt(p))
     return None
+
+
+def refresh_references(out_dir: str) -> None:
+    """Re-resolve reference values for an existing parity.json (used
+    after fixing the artifact-name mapping mid-sweep)."""
+    path = os.path.join(out_dir, "parity.json")
+    with open(path) as f:
+        rows = json.load(f)
+    for r in rows:
+        ref = reference_acc(r["model"], r["dataset"])
+        r["reference"] = ref
+        r["delta"] = (round(r["ours"] - ref, 4)
+                      if ref is not None else None)
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=1)
+    _write_markdown(out_dir, rows)
+
+
+def _write_markdown(out_dir: str, rows) -> None:
+    with open(os.path.join(out_dir, "PARITY.md"), "w") as f:
+        f.write("| model | dataset | ours | reference | delta |\n")
+        f.write("|---|---|---|---|---|\n")
+        for r in rows:
+            f.write(f"| {r['model']} | {r['dataset']} | "
+                    f"{r['ours']}±{r['ours_std']} | {r['reference']} | "
+                    f"{r['delta']} |\n")
 
 
 def run_one(model_key: str, dataset: str, seed: int, epochs,
@@ -140,7 +175,14 @@ def main():
     p.add_argument("--out", default="results/parity")
     p.add_argument("--single", nargs=3, metavar=("MODEL", "DS", "SEED"),
                    help="internal: run one training in-process")
+    p.add_argument("--refresh", action="store_true",
+                   help="re-resolve reference values in parity.json")
     args = p.parse_args()
+
+    if args.refresh:
+        refresh_references(args.out)
+        print(open(os.path.join(args.out, "PARITY.md")).read())
+        return
 
     if args.single:
         model_key, dataset, seed = args.single
