@@ -219,8 +219,17 @@ void pack_csr_fill(int64_t num_nodes, int64_t e,
       out_tiles[chunk] = (int32_t)t;
       int64_t a = start + ci * C;
       int64_t b = std::min(a + C, start + cnt);
-      for (int64_t j = a; j < b; ++j) {
-        int64_t slot = chunk * C + (j - a);
+      // slot order within a chunk is free (the one-hot matmul carries
+      // the row mapping) — sort by sender for gather locality
+      std::vector<int64_t> order(b - a);
+      for (int64_t j = 0; j < b - a; ++j) order[j] = a + j;
+      std::sort(order.begin(), order.end(),
+                [&](int64_t x, int64_t y) {
+                  return senders_sorted[x] < senders_sorted[y];
+                });
+      for (int64_t jj = 0; jj < b - a; ++jj) {
+        int64_t j = order[jj];
+        int64_t slot = chunk * C + jj;
         out_senders[slot] = senders_sorted[j];
         out_weights[slot] = weights_sorted[j];
         out_local[slot] = (int32_t)(receivers_sorted[j] - t * R);

@@ -129,9 +129,13 @@ def pack_csr(senders: np.ndarray, receivers: np.ndarray,
                 continue
             m = b - a
             ci = base_chunk + k
-            out_s[ci, :m] = s_s[a:b]
-            out_w[ci, :m] = w_s[a:b]
-            out_l[ci, :m] = (r_s[a:b] - t * R).astype(np.int32)
+            # within-chunk sender sort: slot order is free (the one-hot
+            # matmul carries the row mapping); sorted senders give the
+            # gather locality
+            sub = np.argsort(s_s[a:b], kind="stable") + a
+            out_s[ci, :m] = s_s[sub]
+            out_w[ci, :m] = w_s[sub]
+            out_l[ci, :m] = (r_s[sub] - t * R).astype(np.int32)
     if pad_chunks_to is not None and pad_chunks_to > nc:
         extra = pad_chunks_to - nc
         out_s = np.concatenate(
