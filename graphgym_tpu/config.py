@@ -259,7 +259,9 @@ def set_cfg(cfg: CfgNode) -> CfgNode:
 
     # -------------------------------------------------- tpu-specific (new)
     cfg.tpu = CfgNode()
-    cfg.tpu.spmm_impl = "xla"        # xla / pallas / auto
+    # auto: packed Pallas kernels on single-device TPU full-batch runs,
+    # XLA segment ops otherwise
+    cfg.tpu.spmm_impl = "auto"       # xla / pallas / auto
     cfg.tpu.dtype = "float32"        # compute dtype for node features
     cfg.tpu.pad_buckets = True       # power-of-two shape bucketing
     cfg.tpu.mesh_shape = []          # e.g. [8] edge-partition axis

@@ -659,7 +659,14 @@ class GraphLoader:
             pad_edges_to=self.pad_edges,
             **kw)
         # Pallas SpMM path: precompute normalized packed-chunk layouts
-        if cfg.tpu.spmm_impl == "pallas":
+        impl = cfg.tpu.spmm_impl
+        if impl == "auto":
+            import jax
+            impl = ("pallas"
+                    if jax.default_backend() == "tpu"
+                    and len(jax.devices()) == 1
+                    and cfg.train.sampler == "full_batch" else "xla")
+        if impl == "pallas":
             from graphgym_tpu.graphs.packing import (build_packs,
                                                      kinds_for_layer)
             kinds = kinds_for_layer(cfg.gnn.layer_type)
