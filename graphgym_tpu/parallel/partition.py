@@ -56,6 +56,13 @@ class EdgePartitionPlan:
     edge_weight: jnp.ndarray
     send_idx: jnp.ndarray
     halo_counts: jnp.ndarray = None   # [Pn, Pn] real boundary rows
+    # optional per-shard packed-chunk layouts (ops.pallas) for running
+    # the single-chip SpMM kernel inside the shard_map body:
+    # [Pn, NC, C] senders(ext-table)/weights/local plus [Pn, NC] tiles
+    pack_senders: Optional[jnp.ndarray] = None
+    pack_weights: Optional[jnp.ndarray] = None
+    pack_local: Optional[jnp.ndarray] = None
+    pack_tiles: Optional[jnp.ndarray] = None
     n_local: int = _field(metadata=dict(static=True), default=0)
     num_shards: int = _field(metadata=dict(static=True), default=1)
 
@@ -94,9 +101,11 @@ def bfs_ordering(senders: np.ndarray, receivers: np.ndarray,
 
 def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
                         edge_weight: Optional[np.ndarray],
-                        num_nodes: int, num_shards: int
-                        ) -> EdgePartitionPlan:
-    """Build the partition plan on the host (numpy)."""
+                        num_nodes: int, num_shards: int,
+                        pack: bool = False) -> EdgePartitionPlan:
+    """Build the partition plan on the host (numpy).  With pack=True,
+    also build per-shard packed-chunk layouts so partitioned_spmm can
+    run the Pallas kernel per chip (scatter-free local reduction)."""
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
     e = len(senders)
@@ -164,44 +173,91 @@ def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
         receivers_loc[k, :len(ix)] = (r_k - k * n_loc).astype(np.int32)
         w_out[k, :len(ix)] = edge_weight[ix]
 
+    kw = {}
+    if pack:
+        from graphgym_tpu.ops.pallas.spmm_kernel import pack_csr
+
+        packs = [pack_csr(senders_ext[k], receivers_loc[k], w_out[k],
+                          n_loc) for k in range(num_shards)]
+        nc_max = max(p.senders.shape[0] for p in packs)
+        packs = [pack_csr(senders_ext[k], receivers_loc[k], w_out[k],
+                          n_loc, pad_chunks_to=nc_max)
+                 for k in range(num_shards)]
+        kw = dict(
+            pack_senders=jnp.stack([p.senders for p in packs]),
+            pack_weights=jnp.stack([p.weights for p in packs]),
+            pack_local=jnp.stack([p.local_rows for p in packs]),
+            pack_tiles=jnp.stack([p.tiles for p in packs]))
     return EdgePartitionPlan(
         senders_ext=jnp.asarray(senders_ext),
         receivers_loc=jnp.asarray(receivers_loc),
         edge_weight=jnp.asarray(w_out),
         send_idx=jnp.asarray(send_idx),
         halo_counts=jnp.asarray(halo_counts),
-        n_local=n_loc, num_shards=num_shards)
+        n_local=n_loc, num_shards=num_shards, **kw)
 
 
 def partitioned_spmm(plan: EdgePartitionPlan, x: jnp.ndarray,
-                     mesh: Mesh, axis: str = "edge") -> jnp.ndarray:
+                     mesh: Mesh, axis: str = "edge",
+                     use_kernel: bool = False) -> jnp.ndarray:
     """out = A @ x with x, out row-sharded over `axis`; one all_to_all
-    of boundary rows per call."""
+    of boundary rows per call.  use_kernel=True runs the packed Pallas
+    segmented matmul per chip for the local reduction (requires a plan
+    built with pack=True) — the single-chip kernel composed with the
+    multi-chip halo exchange."""
     pn = plan.num_shards
     n_loc = plan.n_local
     d = x.shape[-1]
+    if use_kernel:
+        assert plan.pack_senders is not None, (
+            "use_kernel needs plan_edge_partition(..., pack=True)")
 
-    def local_fn(x_loc, senders_ext, receivers_loc, w, send_idx):
-        # all inputs arrive with the leading shard axis stripped
-        x_loc = x_loc.reshape(n_loc, d)
-        send_idx = send_idx.reshape(pn, -1)
-        senders_ext = senders_ext.reshape(-1)
-        receivers_loc = receivers_loc.reshape(-1)
-        w = w.reshape(-1)
+    def exchange(x_loc, send_idx):
         send_buf = jnp.take(x_loc, send_idx.reshape(-1),
                             axis=0).reshape(pn, -1, d)
         halo = jax.lax.all_to_all(send_buf, axis, split_axis=0,
                                   concat_axis=0, tiled=False)
         # halo[s] = the rows shard s sent to me
-        x_ext = jnp.concatenate([x_loc, halo.reshape(-1, d)])
-        msg = jnp.take(x_ext, senders_ext, axis=0) * w[:, None]
-        return S.segment_sum(msg, receivers_loc, n_loc)
+        return jnp.concatenate([x_loc, halo.reshape(-1, d)])
+
+    def local_fn(x_loc, senders_ext, receivers_loc, w, send_idx):
+        # all inputs arrive with the leading shard axis stripped
+        x_ext = exchange(x_loc.reshape(n_loc, d),
+                         send_idx.reshape(pn, -1))
+        msg = jnp.take(x_ext, senders_ext.reshape(-1), axis=0) \
+            * w.reshape(-1)[:, None]
+        return S.segment_sum(msg, receivers_loc.reshape(-1), n_loc)
+
+    def local_fn_kernel(x_loc, send_idx, p_send, p_w, p_local, p_tiles):
+        from graphgym_tpu.ops.pallas.spmm_kernel import (
+            ROWS_PER_TILE, packed_segment_matmul)
+
+        x_ext = exchange(x_loc.reshape(n_loc, d),
+                         send_idx.reshape(pn, -1))
+        p_send = p_send.reshape(p_send.shape[-2:])
+        msg = jnp.take(x_ext, p_send.reshape(-1), axis=0).reshape(
+            p_send.shape + (d,))
+        msg = msg * p_w.reshape(p_send.shape)[..., None]
+        num_tiles = (n_loc + ROWS_PER_TILE - 1) // ROWS_PER_TILE
+        out = packed_segment_matmul(
+            msg, p_local.reshape(p_send.shape),
+            p_tiles.reshape(-1), num_tiles)
+        return out[:n_loc]
 
     try:
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
+    if use_kernel:
+        # pallas_call doesn't carry varying-mesh-axis metadata yet
+        sharded = shard_map(
+            local_fn_kernel, mesh=mesh,
+            in_specs=(P(axis),) * 6, out_specs=P(axis),
+            check_vma=False)
+        return sharded(x, plan.send_idx, plan.pack_senders,
+                       plan.pack_weights, plan.pack_local,
+                       plan.pack_tiles)
     sharded = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),

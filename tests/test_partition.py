@@ -78,6 +78,21 @@ class TestPartitionedSpMM:
         np.testing.assert_allclose(np.asarray(g), gref, rtol=1e-3,
                                    atol=1e-3)
 
+    def test_kernel_path_matches_segment_path(self, mesh):
+        """Packed Pallas kernel inside shard_map == segment-sum path."""
+        n, e, d = 64, 300, 16
+        s, r, w, x = rand_coo(n, e, d, seed=5)
+        plan = plan_edge_partition(s, r, w, n, 8, pack=True)
+        with mesh:
+            xs = jax.device_put(jnp.asarray(x),
+                                NamedSharding(mesh, P("edge")))
+            o1 = jax.jit(lambda x_: partitioned_spmm(plan, x_, mesh))(
+                xs)
+            o2 = jax.jit(lambda x_: partitioned_spmm(
+                plan, x_, mesh, use_kernel=True))(xs)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-3, atol=1e-3)
+
     def test_partitioned_attention_matches_single(self, mesh):
         from graphgym_tpu.parallel.partition import \
             partitioned_attention
