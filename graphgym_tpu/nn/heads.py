@@ -83,7 +83,14 @@ class GNNEdgeHead(nn.Module):
         if self.decoding == "concat":
             v1 = jnp.take(graph.node_feat, eli[0], axis=0)
             v2 = jnp.take(graph.node_feat, eli[1], axis=0)
-            pair = graph.replace(node_feat=jnp.concatenate([v1, v2], -1))
+            # pseudo-graph over edge pairs: the MLP's BatchNorm must
+            # mask padded pair slots, not node slots
+            pair_mask = graph.edge_label_mask
+            if pair_mask is None:
+                pair_mask = jnp.ones(eli.shape[1], bool)
+            pair = graph.replace(
+                node_feat=jnp.concatenate([v1, v2], -1),
+                node_mask=pair_mask)
             pair = MLP(self.dim_out, num_layers=self.layers_post_mp,
                        dim_inner=self.dim_inner, use_bias=True,
                        act=self.act)(pair, train)
@@ -125,7 +132,12 @@ class GNNGraphHead(nn.Module):
             kind=self.pooling, node_mask=graph.node_mask,
             id_index=graph.node_id_index if self.ego else None,
             id_mask=graph.id_mask if self.ego else None)
-        g = graph.replace(node_feat=emb)
+        # pseudo-graph over pooled embeddings: BatchNorm masks graph
+        # slots (incl. the padding-graph slot), not node slots
+        gmask = graph.graph_mask
+        if gmask is None:
+            gmask = jnp.ones(graph.num_graphs, bool)
+        g = graph.replace(node_feat=emb, node_mask=gmask)
         g = MLP(self.dim_out, num_layers=self.layers_post_mp,
                 dim_inner=self.dim_inner, use_bias=True,
                 act=self.act)(g, train)

@@ -123,6 +123,9 @@ class GNNOptions:
     msg_direction: str = "single"
     self_msg: str = "concat"
     att_heads: int = 1
+    att_final_linear: bool = False
+    att_final_linear_bn: bool = False
+    flow: str = "source_to_target"
     l2norm: bool = True
     keep_edge: float = 0.5
     bn_eps: float = 1e-5
@@ -353,6 +356,9 @@ def options_from_cfg(cfg) -> GNNOptions:
         msg_direction=cfg.gnn.msg_direction,
         self_msg=cfg.gnn.self_msg,
         att_heads=cfg.gnn.att_heads,
+        att_final_linear=cfg.gnn.att_final_linear,
+        att_final_linear_bn=cfg.gnn.att_final_linear_bn,
+        flow=cfg.gnn.flow,
         l2norm=cfg.gnn.l2norm,
         keep_edge=cfg.gnn.keep_edge,
         remat=bool(cfg.tpu.get("remat", False)),
