@@ -17,11 +17,11 @@ import time
 
 import numpy as np
 
-# Baseline: the naive XLA segment-sum SpMM fwd+bwd measured on
-# 1x TPU v5e lite in round 1 (27.4M edges/s at N=131072, E=2M, D=128) —
-# the framework's own starting point, since the reference publishes no
-# throughput numbers (BASELINE.md).
-BASELINE_EDGES_PER_S = 27.4e6
+# Baseline: the naive XLA segment-sum SpMM fwd+bwd (grad wrt x)
+# measured on 1x TPU v5e lite in round 1 (27.9M edges/s at N=131072,
+# E=2M, D=128) — the framework's own starting point, since the
+# reference publishes no throughput numbers (BASELINE.md).
+BASELINE_EDGES_PER_S = 27.9e6
 
 
 def make_graph(num_nodes: int, num_edges: int, dim: int, seed: int = 0):

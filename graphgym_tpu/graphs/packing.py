@@ -33,7 +33,8 @@ def _gcn_weights(senders: np.ndarray, receivers: np.ndarray,
                         node_mask.astype(np.float32)])
     deg = np.zeros(num_nodes, np.float64)
     np.add.at(deg, r, w)
-    dis = deg ** -0.5
+    with np.errstate(divide="ignore"):
+        dis = deg ** -0.5
     dis[~np.isfinite(dis)] = 0
     return s, r, (dis[r] * w * dis[s]).astype(np.float32)
 

@@ -142,7 +142,7 @@ def run_one(model_key: str, dataset: str, seed: int, epochs,
 
 def run_one_subprocess(model_key: str, dataset: str, seed: int,
                        epochs: int, out_root: str,
-                       timeout_s: int = 1500):
+                       timeout_s: int = 3000):
     """Each training runs in a fresh process: the TPU tunnel in this
     environment deadlocks on a second training session within one
     process (observed futex hang after the first run)."""
@@ -192,9 +192,21 @@ def main():
             print(f"SINGLE_RESULT {acc}", flush=True)
         return
 
+    # resume: keep rows already recorded in parity.json
     rows = []
+    done = set()
+    path = os.path.join(args.out, "parity.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            rows = json.load(f)
+        done = {(r["model"], r["dataset"]) for r in rows
+                if r.get("seeds", 0) >= args.repeat}
     for model_key in args.models:
         for dataset in args.datasets:
+            if (model_key, dataset) in done:
+                print(f"skip {model_key}/{dataset} (already recorded)",
+                      flush=True)
+                continue
             accs = []
             for i in range(args.repeat):
                 t0 = time.time()
