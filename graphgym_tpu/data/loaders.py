@@ -158,6 +158,8 @@ def load_tu(name: str, dataset_dir: str) -> List[HostGraph]:
     glabels = maybe(f"{name}_graph_labels.txt")
     nlabels = maybe(f"{name}_node_labels.txt")
     nattrs = maybe(f"{name}_node_attributes.txt")
+    elabels = maybe(f"{name}_edge_labels.txt")
+    eattrs = maybe(f"{name}_edge_attributes.txt")
 
     graphs = []
     num_graphs = indicator.max() + 1
@@ -182,6 +184,17 @@ def load_tu(name: str, dataset_dir: str) -> List[HostGraph]:
         if not feats:
             feats.append(np.ones((int(hi - lo), 1), np.float32))
         hg["node_feature"] = np.concatenate(feats, axis=1)
+        efeats = []
+        if eattrs is not None:
+            efeats.append(eattrs[em].astype(np.float32))
+        if elabels is not None:
+            lab = elabels[em].astype(np.int64).reshape(-1)
+            k = int(elabels.max()) + 1
+            oh = np.zeros((len(lab), k), np.float32)
+            oh[np.arange(len(lab)), lab] = 1
+            efeats.append(oh)
+        if efeats:
+            hg["edge_feature"] = np.concatenate(efeats, axis=1)
         if glabels is not None:
             gl = glabels[gi].reshape(-1)[0]
             hg["graph_label"] = np.asarray([int(gl)], np.int64)
@@ -322,12 +335,27 @@ def split_dataset(graphs: List[HostGraph], cfg,
             train_pairs = pairs[:, parts[0]]
             msg_edges = np.concatenate(
                 [train_pairs, train_pairs[::-1]], axis=1)
+            disjoint = cfg.dataset.edge_train_mode == "disjoint"
             for si, part in enumerate(parts):
                 gg = g.copy()
-                pos = pairs[:, part]
-                # message edges: train edges for every split
-                gg.edge_index = msg_edges.astype(np.int32)
-                gg._csr_indptr = gg._csr_indices = None
+                if si == 0 and disjoint:
+                    # disjoint train mode (reference config.py:150-155 via
+                    # DeepSNAP): train positives are re-split into
+                    # message-passing edges (edge_message_ratio) and
+                    # supervision edges; supervision edges are NOT passed
+                    # messages during training
+                    msg_pairs, pos = _disjoint_split(
+                        train_pairs, cfg.dataset.edge_message_ratio, rng)
+                    _set_message_edges(gg, g.edge_index,
+                                       g.get("edge_feature"),
+                                       np.concatenate(
+                                           [msg_pairs, msg_pairs[::-1]],
+                                           axis=1))
+                else:
+                    pos = pairs[:, part]
+                    # message edges: train edges for every split
+                    _set_message_edges(gg, g.edge_index,
+                                       g.get("edge_feature"), msg_edges)
                 num_neg = int(pos.shape[1] *
                               (cfg.dataset.edge_negative_sampling_ratio
                                if si == 0 else 1.0))
@@ -338,7 +366,15 @@ def split_dataset(graphs: List[HostGraph], cfg,
                                      np.zeros(neg.shape[1])])
                 gg["edge_label_index"] = eli.astype(np.int32)
                 gg["edge_label"] = el.astype(np.int64)
-                if si == 0 and cfg.dataset.resample_negative:
+                if si == 0 and disjoint and cfg.dataset.resample_disjoint:
+                    # loader re-splits message/supervision each epoch
+                    # (reference config.py:159-160)
+                    gg["_train_pairs"] = train_pairs.astype(np.int32)
+                    gg["_full_edge_index"] = g.edge_index.astype(np.int32)
+                    if "edge_feature" in g:
+                        gg["_full_edge_feature"] = np.asarray(
+                            g["edge_feature"])
+                elif si == 0 and cfg.dataset.resample_negative:
                     # loader re-draws the negative half each epoch
                     # (reference config.py:162-163)
                     gg["_pos_pairs"] = pos.astype(np.int32)
@@ -354,6 +390,38 @@ def _default_supervision(g: HostGraph, cfg) -> None:
     """Inductive splits supervise every node (node task)."""
     if cfg.dataset.task == "node" and "node_label_index" not in g:
         g["node_label_index"] = np.arange(g.num_nodes)
+
+
+def _disjoint_split(pairs: np.ndarray, message_ratio: float, rng):
+    """Split undirected train pairs [2, M] into (message, supervision)
+    (reference cfg.dataset.edge_message_ratio, config.py:152-155)."""
+    m = pairs.shape[1]
+    k = int(message_ratio * m)
+    if m >= 2:
+        k = min(max(k, 1), m - 1)  # both halves non-empty
+    perm = rng.permutation(m)
+    return pairs[:, perm[:k]], pairs[:, perm[k:]]
+
+
+def _set_message_edges(gg: HostGraph, orig_edge_index: np.ndarray,
+                       orig_edge_feature, new_edges: np.ndarray) -> None:
+    """Replace gg's edge set, keeping per-edge features aligned by
+    looking each new (u, v) up in the original edge list."""
+    gg.edge_index = new_edges.astype(np.int32)
+    gg._csr_indptr = gg._csr_indices = None
+    if orig_edge_feature is None:
+        return
+    n = np.int64(gg.num_nodes)
+    old_key = orig_edge_index[0].astype(np.int64) * n + orig_edge_index[1]
+    order = np.argsort(old_key, kind="stable")
+    new_key = new_edges[0].astype(np.int64) * n + new_edges[1]
+    loc = np.searchsorted(old_key[order], new_key)
+    loc = np.clip(loc, 0, max(len(old_key) - 1, 0))
+    hit = old_key[order][loc] == new_key
+    cols = np.where(hit, order[loc], 0)
+    out = np.array(np.asarray(orig_edge_feature)[cols])
+    out[~hit] = 0
+    gg["edge_feature"] = out
 
 
 # ------------------------------------------------------------ create_dataset
@@ -542,6 +610,36 @@ class GraphLoader:
         return (len(self.graphs) + self.batch_size - 1) // self.batch_size
 
     def batches(self, epoch: int = 0) -> List[GraphBatch]:
+        resample_disjoint = (
+            self.shuffle and self.cfg.dataset.resample_disjoint
+            and any("_train_pairs" in g for g in self.graphs))
+        if resample_disjoint:
+            # re-split message/supervision edges + re-draw negatives each
+            # epoch (reference config.py:159-160; DeepSNAP resample_disjoint).
+            # Counts are ratio-determined so every epoch keeps the same
+            # static shapes (no recompilation).
+            from graphgym_tpu.data.transforms import negative_sampling
+            for g in self.graphs:
+                if "_train_pairs" not in g:
+                    continue
+                msg_pairs, pos = _disjoint_split(
+                    g["_train_pairs"],
+                    self.cfg.dataset.edge_message_ratio, self.rng)
+                _set_message_edges(g, g["_full_edge_index"],
+                                   g.get("_full_edge_feature"),
+                                   np.concatenate(
+                                       [msg_pairs, msg_pairs[::-1]],
+                                       axis=1))
+                num_neg = int(
+                    pos.shape[1]
+                    * self.cfg.dataset.edge_negative_sampling_ratio)
+                neg = negative_sampling(g["_full_edge_index"],
+                                        g.num_nodes, num_neg, self.rng)
+                g["edge_label_index"] = np.concatenate(
+                    [pos, neg], axis=1).astype(np.int32)
+                g["edge_label"] = np.concatenate(
+                    [np.ones(pos.shape[1]),
+                     np.zeros(neg.shape[1])]).astype(np.int64)
         resample = (self.shuffle
                     and self.cfg.dataset.resample_negative
                     and any("_pos_pairs" in g for g in self.graphs))
@@ -577,7 +675,7 @@ class GraphLoader:
         # composition; collate once and reuse (keeps host work out of
         # the epoch loop).
         static = (not self.shuffle or len(self) == 1) and not resample \
-            and not sample_node
+            and not sample_node and not resample_disjoint
         if static and getattr(self, "_cached", None) is not None:
             return self._cached
         order = np.arange(len(self.graphs))
@@ -596,12 +694,16 @@ class GraphLoader:
         xs, ss, rs, gids = [], [], [], []
         node_labels, label_idx, id_idx = [], [], []
         edge_labels, edge_label_idx, graph_labels = [], [], []
+        edge_feats = []
         offset = 0
         for gi, g in enumerate(graphs):
             xs.append(graph_to_arrays(g, cfg))
             ss.append(g.senders + offset)
             rs.append(g.receivers + offset)
             gids.append(np.full(g.num_nodes, gi, np.int32))
+            if "edge_feature" in g:
+                ef = np.asarray(g["edge_feature"], np.float32)
+                edge_feats.append(ef if ef.ndim > 1 else ef[:, None])
             if "node_label" in g:
                 lab = np.asarray(g["node_label"]).reshape(g.num_nodes, -1)
                 node_labels.append(lab)
@@ -648,6 +750,8 @@ class GraphLoader:
                 _pad1(eli[1], self.pad_edge_labels, pad_node)])
         if graph_labels:
             kw["graph_label"] = np.concatenate(graph_labels)
+        if edge_feats and len(edge_feats) == len(graphs):
+            kw["edge_feat"] = np.concatenate(edge_feats, axis=0)
 
         batch = build_graph_batch(
             senders, receivers, x,

@@ -150,6 +150,61 @@ class TestSplits:
         el = tr["edge_label"]
         assert set(np.unique(el)) == {0, 1}
 
+    def test_link_pred_disjoint_split(self):
+        """edge_train_mode=disjoint (reference config.py:150-155):
+        train messages and supervision positives are disjoint edge sets;
+        val messages stay the full train-edge set."""
+        cfg = get_cfg()
+        cfg.dataset.task = "link_pred"
+        cfg.dataset.split = [0.8, 0.2]
+        cfg.dataset.edge_train_mode = "disjoint"
+        cfg.dataset.edge_message_ratio = 0.75
+        g = ring_graph(20)
+        splits = split_dataset([g], cfg, np.random.default_rng(0))
+        tr, va = splits[0][0], splits[1][0]
+        assert va.num_edges == 2 * 16          # all train pairs
+        assert tr.num_edges == 2 * 12          # 0.75 of them
+        eli, el = tr["edge_label_index"], tr["edge_label"]
+        pos = eli[:, el == 1]
+        msg = set(zip(tr.senders.tolist(), tr.receivers.tolist()))
+        sup = set(zip(pos[0].tolist(), pos[1].tolist()))
+        assert not msg & sup, "supervision edges must not pass messages"
+        assert len(sup) == 16 - 12
+
+    def test_link_pred_resample_disjoint(self):
+        """resample_disjoint re-splits message/supervision per epoch with
+        static shapes (reference config.py:159-160)."""
+        cfg = get_cfg()
+        cfg.dataset.task = "link_pred"
+        cfg.dataset.split = [0.8, 0.2]
+        cfg.dataset.edge_train_mode = "disjoint"
+        cfg.dataset.edge_message_ratio = 0.6
+        cfg.dataset.resample_disjoint = True
+        g = ring_graph(30)
+        g["edge_feature"] = np.arange(g.num_edges, dtype=np.float32)[:, None]
+        splits = split_dataset([g], cfg, np.random.default_rng(0))
+        loader = GraphLoader(splits[0], cfg, batch_size=1, shuffle=True)
+        seen_msgs, shapes = [], set()
+        for epoch in range(4):
+            (b,) = loader.batches(epoch)
+            shapes.add((b.num_nodes, b.num_edges,
+                        b.edge_label_index.shape[1]))
+            tr = loader.graphs[0]
+            seen_msgs.append(frozenset(
+                zip(tr.senders.tolist(), tr.receivers.tolist())))
+            eli, el = tr["edge_label_index"], tr["edge_label"]
+            pos = eli[:, el == 1]
+            sup = set(zip(pos[0].tolist(), pos[1].tolist()))
+            assert not seen_msgs[-1] & sup
+            # edge features stay aligned: feature value identifies the
+            # original edge column
+            ef = tr["edge_feature"].reshape(-1).astype(np.int64)
+            orig = tr["_full_edge_index"]
+            for col, (u, v) in zip(ef, zip(tr.senders, tr.receivers)):
+                assert orig[0, col] == u and orig[1, col] == v
+        assert len(shapes) == 1, "resampling must keep static shapes"
+        assert len(set(seen_msgs)) > 1, "message set should change"
+
 
 class TestLoaderBatching:
     def test_batch_shapes_stable_across_epochs(self):
@@ -165,6 +220,24 @@ class TestLoaderBatching:
                 shapes.add((b.num_nodes, b.num_edges,
                             b.node_label_index.shape[0]))
         assert len(shapes) == 1, "padding buckets must be stable"
+
+    def test_edge_features_collated(self):
+        """Dataset edge_feature arrays must reach GraphBatch.edge_feat
+        (consumed by edge-conditioned convs, nn/att_layers.py)."""
+        cfg = get_cfg()
+        cfg.dataset.task = "node"
+        graphs = [ring_graph(n) for n in (6, 8)]
+        for g in graphs:
+            g["node_label_index"] = np.arange(g.num_nodes)
+            g["edge_feature"] = np.full((g.num_edges, 3),
+                                        float(g.num_nodes), np.float32)
+        loader = GraphLoader(graphs, cfg, batch_size=2, shuffle=False)
+        (b,) = loader.batches(0)
+        assert b.edge_feat is not None and b.edge_feat.shape[1] == 3
+        ef = np.asarray(b.edge_feat)
+        em = np.asarray(b.edge_mask)
+        assert set(np.unique(ef[em][:, 0])) == {6.0, 8.0}
+        assert np.all(ef[~em] == 0)
 
     def test_full_pipeline_ws(self):
         cfg = get_cfg()
