@@ -237,6 +237,172 @@ def load_karate() -> List[HostGraph]:
     return [g]
 
 
+def _csr_to_dense(data, indices, indptr, shape) -> np.ndarray:
+    out = np.zeros(shape, np.float32)
+    rows = np.repeat(np.arange(shape[0]), np.diff(indptr))
+    out[rows, indices] = data
+    return out
+
+
+def load_npz_graph(fname: str, dataset_dir: str) -> List[HostGraph]:
+    """Parser for the GNN-benchmark npz format behind PyG's
+    Coauthor/Amazon datasets (reference loader.py:56-66): CSR adjacency
+    (adj_*), CSR or dense attributes (attr_*), integer labels."""
+    path = None
+    for d in [dataset_dir] + _SEARCH_DIRS:
+        for sub in (d, os.path.join(d, fname.split(".")[0]),
+                    os.path.join(d, fname.split(".")[0], "raw")):
+            p = os.path.join(sub, fname)
+            if os.path.exists(p):
+                path = p
+                break
+        if path:
+            break
+    if path is None:
+        raise FileNotFoundError(f"{fname} not found under {dataset_dir}")
+    with np.load(path, allow_pickle=True) as z:
+        adj_shape = tuple(int(v) for v in z["adj_shape"])
+        n = adj_shape[0]
+        rows = np.repeat(np.arange(n), np.diff(z["adj_indptr"]))
+        cols = np.asarray(z["adj_indices"], np.int64)
+        if "attr_matrix" in z:
+            x = np.asarray(z["attr_matrix"], np.float32)
+        else:
+            x = _csr_to_dense(z["attr_data"], z["attr_indices"],
+                              z["attr_indptr"],
+                              (n, int(z["attr_shape"][1])))
+        labels = np.asarray(z["labels"], np.int64)
+    # symmetrize + drop self loops (PyG read_npz: to_undirected,
+    # remove_self_loops)
+    s = np.concatenate([rows, cols])
+    r = np.concatenate([cols, rows])
+    keep = s != r
+    pairs = np.unique(np.stack([s[keep], r[keep]], axis=1), axis=0)
+    g = HostGraph(n, pairs.T.astype(np.int32))
+    g["node_feature"] = x
+    g["node_label"] = labels
+    return [g]
+
+
+def load_ppi(dataset_dir: str) -> List[HostGraph]:
+    """Parser for the GraphSAGE PPI raw files behind PyG's PPI dataset
+    (reference loader.py:69-70): per split {split}_graph.json
+    (node-link), {split}_feats.npy, {split}_labels.npy (multi-label),
+    {split}_graph_id.npy — one HostGraph per protein graph."""
+    import json
+
+    base = None
+    for d in [dataset_dir] + _SEARCH_DIRS:
+        for sub in (os.path.join(d, "PPI", "raw"),
+                    os.path.join(d, "PPI"), d):
+            if os.path.exists(os.path.join(sub, "train_graph.json")):
+                base = sub
+                break
+        if base:
+            break
+    if base is None:
+        raise FileNotFoundError(
+            f"PPI raw files (train_graph.json...) not found under "
+            f"{dataset_dir}")
+    graphs = []
+    for split in ("train", "valid", "test"):
+        gpath = os.path.join(base, f"{split}_graph.json")
+        if not os.path.exists(gpath):
+            continue
+        with open(gpath) as f:
+            gdata = json.load(f)
+        feats = np.load(os.path.join(base, f"{split}_feats.npy"))
+        labels = np.load(os.path.join(base, f"{split}_labels.npy"))
+        gids = np.load(os.path.join(base, f"{split}_graph_id.npy"))
+        links = np.asarray([(l["source"], l["target"])
+                            for l in gdata["links"]], np.int64)
+        links = links.reshape(-1, 2)
+        for gid in np.unique(gids):
+            nodes = np.where(gids == gid)[0]
+            lo, hi = nodes.min(), nodes.max() + 1
+            em = (links[:, 0] >= lo) & (links[:, 0] < hi) \
+                & (links[:, 1] >= lo) & (links[:, 1] < hi)
+            e = links[em] - lo
+            # symmetrize (GraphSAGE json stores one direction)
+            pairs = np.unique(np.concatenate([e, e[:, ::-1]]), axis=0)
+            g = HostGraph(int(hi - lo), pairs.T.astype(np.int32)
+                          if len(pairs) else np.zeros((2, 0), np.int32))
+            g["node_feature"] = feats[lo:hi].astype(np.float32)
+            g["node_label"] = labels[lo:hi].astype(np.int64)
+            graphs.append(g)
+    return graphs
+
+
+def load_qm7b(dataset_dir: str) -> List[HostGraph]:
+    """Parser for qm7b.mat behind PyG's QM7b (reference loader.py:71-72):
+    Coulomb matrices X [N, 23, 23] -> dense weighted graphs with the
+    coulomb entry as 1-d edge_feature, targets T [N, 14] as
+    graph_label."""
+    from scipy.io import loadmat
+
+    path = None
+    for d in [dataset_dir] + _SEARCH_DIRS:
+        for sub in (os.path.join(d, "QM7b", "raw"),
+                    os.path.join(d, "QM7b"), d):
+            p = os.path.join(sub, "qm7b.mat")
+            if os.path.exists(p):
+                path = p
+                break
+        if path:
+            break
+    if path is None:
+        raise FileNotFoundError(f"qm7b.mat not found under {dataset_dir}")
+    mat = loadmat(path)
+    coulomb = np.asarray(mat["X"], np.float32)
+    targets = np.asarray(mat["T"], np.float32)
+    graphs = []
+    for i in range(coulomb.shape[0]):
+        adj = coulomb[i]
+        s, r = np.nonzero(adj)
+        g = HostGraph(adj.shape[0],
+                      np.stack([s, r]).astype(np.int32))
+        g["edge_feature"] = adj[s, r][:, None]
+        g["node_feature"] = np.ones((adj.shape[0], 1), np.float32)
+        g["graph_label"] = targets[i]
+        graphs.append(g)
+    return graphs
+
+
+def load_mnist_superpixels(dataset_dir: str) -> List[HostGraph]:
+    """Parser for MNISTSuperpixels.pt behind PyG MNIST (reference
+    loader.py:67-68): a torch-saved [train, test] pair of lists of
+    per-graph dicts (x, edge_index, pos, y)."""
+    import torch
+
+    path = None
+    for d in [dataset_dir] + _SEARCH_DIRS:
+        for sub in (os.path.join(d, "MNIST", "raw"),
+                    os.path.join(d, "MNIST"), d):
+            p = os.path.join(sub, "MNISTSuperpixels.pt")
+            if os.path.exists(p):
+                path = p
+                break
+        if path:
+            break
+    if path is None:
+        raise FileNotFoundError(
+            f"MNISTSuperpixels.pt not found under {dataset_dir}")
+    inputs = torch.load(path, weights_only=False)
+    graphs = []
+    for split in inputs:
+        for d in split:
+            ei = np.asarray(d["edge_index"], np.int32).reshape(2, -1)
+            x = np.asarray(d["x"], np.float32)
+            g = HostGraph(x.shape[0], ei)
+            pos = d.get("pos")
+            g["node_feature"] = x if pos is None else np.concatenate(
+                [x, np.asarray(pos, np.float32)], axis=1)
+            g["graph_label"] = np.asarray(
+                [int(np.asarray(d["y"]).reshape(-1)[0])], np.int64)
+            graphs.append(g)
+    return graphs
+
+
 def load_dataset(cfg) -> List[HostGraph]:
     fmt = cfg.dataset.format
     if fmt.startswith("Tfg-"):
@@ -254,10 +420,28 @@ def load_dataset(cfg) -> List[HostGraph]:
         if name == "Karate":
             return load_karate()
         if name.startswith("TU_"):
-            graphs = load_tu(name[3:], cfg.dataset.dir)
+            # TU_IMDB -> IMDB-MULTI with constant features
+            # (reference loader.py:36-40)
+            graphs = load_tu("IMDB-MULTI" if name[3:] == "IMDB"
+                             else name[3:], cfg.dataset.dir)
             if cfg.dataset.tu_simple and cfg.dataset.task != "graph":
                 graphs = tu_simple_filter(graphs)
             return graphs
+        if "Coauthor" in name:
+            fname = ("ms_academic_cs.npz" if "CS" in name
+                     else "ms_academic_phy.npz")
+            return load_npz_graph(fname, cfg.dataset.dir)
+        if "Amazon" in name:
+            fname = ("amazon_electronics_computers.npz"
+                     if "Computers" in name
+                     else "amazon_electronics_photo.npz")
+            return load_npz_graph(fname, cfg.dataset.dir)
+        if name == "PPI":
+            return load_ppi(cfg.dataset.dir)
+        if name == "QM7b":
+            return load_qm7b(cfg.dataset.dir)
+        if name == "MNIST":
+            return load_mnist_superpixels(cfg.dataset.dir)
         raise ValueError(f"PyG dataset {name} not supported natively; "
                          "provide raw files or use nx format")
     if fmt == "TU":
