@@ -5,6 +5,7 @@ PReLU is a module (has a learned slope); the rest are pure functions.
 
 from __future__ import annotations
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
@@ -13,6 +14,19 @@ def _lrelu(slope):
     def f(x):
         return jax.nn.leaky_relu(x, negative_slope=slope)
     return f
+
+
+class PReLU(nn.Module):
+    """Learnable-slope PReLU (torch nn.PReLU semantics: one shared
+    parameter, init 0.25 — reference act.py:9)."""
+
+    @nn.compact
+    def __call__(self, x):
+        slope = self.param("slope",
+                           lambda key, shape: jnp.full(shape, 0.25,
+                                                       jnp.float32),
+                           (1,))
+        return jnp.where(x >= 0, x, slope * x)
 
 
 class _ActDict(dict):
@@ -39,8 +53,8 @@ act_dict = _ActDict({
     "lrelu_01": _lrelu(0.1),
     "lrelu_025": _lrelu(0.25),
     "lrelu_05": _lrelu(0.5),
-    # torch PReLU default init: slope 0.25 (non-learned here; the
-    # reference design space never tunes it)
+    # learnable PReLU lives in GeneralLayer (module context); this
+    # function fallback covers non-module call sites
     "prelu": _lrelu(0.25),
     "identity": lambda x: x,
     "tanh": jnp.tanh,

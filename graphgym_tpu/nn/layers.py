@@ -139,7 +139,11 @@ class GeneralLayer(nn.Module):
         if self.dropout > 0:
             x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
         if self.has_act:
-            x = act_dict[self.act](x)
+            if self.act == "prelu":
+                from graphgym_tpu.nn.act import PReLU
+                x = PReLU()(x)
+            else:
+                x = act_dict[self.act](x)
         if self.has_l2norm:
             x = l2_normalize(x, axis=-1)
         return graph.replace(node_feat=x)

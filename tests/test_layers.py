@@ -312,3 +312,27 @@ class TestFullModel:
             rngs={"dropout": jax.random.PRNGKey(1)})
         assert np.all(np.isfinite(np.asarray(pred)))
         assert "batch_stats" in mutated
+
+
+class TestPReLU:
+    def test_prelu_learnable_slope(self):
+        """prelu carries a learned slope parameter (torch nn.PReLU
+        semantics, reference act.py:9), shared and differentiable."""
+        import jax
+        import jax.numpy as jnp
+
+        from graphgym_tpu.nn.layers import GeneralLayer, Linear  # noqa
+
+        b, *_ = make_graph()
+        layer = GeneralLayer(Linear(8), 8, act="prelu", has_bn=False)
+        v = layer.init(jax.random.PRNGKey(0), b, False)
+        leaves = jax.tree_util.tree_leaves_with_path(v)
+        assert any("slope" in jax.tree_util.keystr(k) for k, _ in leaves)
+
+        def loss(p):
+            return jnp.sum(layer.apply(p, b, False).node_feat ** 2)
+
+        g = jax.grad(loss)(v)
+        gs = [l for k, l in jax.tree_util.tree_leaves_with_path(g)
+              if "slope" in jax.tree_util.keystr(k)]
+        assert np.any(np.asarray(gs[0]) != 0)
