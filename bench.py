@@ -38,7 +38,7 @@ def make_graph(num_nodes: int, num_edges: int, dim: int, seed: int = 0):
 
 
 def bench_spmm(num_nodes=131072, num_edges=2_000_000, dim=128,
-               iters=20, impl="xla"):
+               iters=20, impl="xla", dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -47,11 +47,11 @@ def bench_spmm(num_nodes=131072, num_edges=2_000_000, dim=128,
     if impl == "pallas":
         from graphgym_tpu.ops.pallas import spmm_kernel as K
         pack = K.pack_bidir(s, r, w, num_nodes)
-        xj = jnp.asarray(x)
+        xj = jnp.asarray(x, dtype=jnp.dtype(dtype))
 
         def loss(x_):
             out = K.spmm_bidir(pack, x_, num_nodes)
-            return jnp.sum(out * out)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
 
         step = jax.jit(jax.grad(loss))
         gx = step(xj)

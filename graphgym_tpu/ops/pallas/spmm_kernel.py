@@ -165,21 +165,29 @@ def _kernel(tiles_ref, local_ref, msg_ref, out_ref, acc_ref):
     local = local_ref[0]                        # [1, C, 1] -> [C, 1]
     cols = jax.lax.broadcasted_iota(
         jnp.int32, (EDGES_PER_CHUNK, ROWS_PER_TILE), 1)
-    onehot = jnp.where(local == cols, 1.0, 0.0)
-    # The MXU's DEFAULT f32 path rounds operands through bfloat16
-    # (observed ~1e-2 relative error on sums) and Mosaic only offers
-    # DEFAULT or 6-pass HIGHEST.  The one-hot side is exact in bf16
-    # (entries 0/1), so splitting msg into hi/lo bf16 planes and doing
-    # two DEFAULT passes recovers f32 fidelity at 1/3 the HIGHEST cost.
+    onehot = jnp.where(local == cols, 1.0, 0.0).astype(jnp.bfloat16)
     msg = msg_ref[0]
-    hi = msg.astype(jnp.bfloat16)
-    lo = (msg - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     dn = (((0,), (0,)), ((), ()))
-    acc_ref[...] += (
-        jax.lax.dot_general(onehot.astype(jnp.bfloat16), hi, dn,
-                            preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(onehot.astype(jnp.bfloat16), lo, dn,
-                              preferred_element_type=jnp.float32))
+    if msg.dtype == jnp.bfloat16:
+        # Fast path (mixed-precision training): messages are already
+        # bf16, one DEFAULT MXU pass with f32 accumulation is exact for
+        # the given inputs.
+        acc_ref[...] += jax.lax.dot_general(
+            onehot, msg, dn, preferred_element_type=jnp.float32)
+    else:
+        # The MXU's DEFAULT f32 path rounds operands through bfloat16
+        # (observed ~1e-2 relative error on sums) and Mosaic only offers
+        # DEFAULT or 6-pass HIGHEST.  The one-hot side is exact in bf16
+        # (entries 0/1), so splitting msg into hi/lo bf16 planes and
+        # doing two DEFAULT passes recovers f32 fidelity at 1/3 the
+        # HIGHEST cost.
+        hi = msg.astype(jnp.bfloat16)
+        lo = (msg - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc_ref[...] += (
+            jax.lax.dot_general(onehot, hi, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(onehot, lo, dn,
+                                  preferred_element_type=jnp.float32))
 
     @pl.when(last)
     def _():
@@ -233,11 +241,13 @@ def spmm_packed(pack: PackedCSR, x: jnp.ndarray, num_nodes: int,
         x = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
     msg = jnp.take(x, pack.senders.reshape(-1), axis=0)
     msg = msg.reshape(pack.senders.shape + (x.shape[1],))
-    msg = msg * pack.weights[..., None]
+    # keep the msg stream in x's dtype (bf16 inputs take the one-pass
+    # fast path in the kernel and halve the HBM traffic)
+    msg = msg * pack.weights[..., None].astype(x.dtype)
     num_tiles = (num_nodes + ROWS_PER_TILE - 1) // ROWS_PER_TILE
     out = packed_segment_matmul(msg, pack.local_rows, pack.tiles,
                                 num_tiles, interpret=interpret)
-    return out[:num_nodes]
+    return out[:num_nodes].astype(x.dtype)
 
 
 # --------------------------------------------------------------------------

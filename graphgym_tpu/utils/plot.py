@@ -17,11 +17,26 @@ def pca_project(x: np.ndarray, dim: int = 2) -> np.ndarray:
     return x @ vt[:dim].T
 
 
+def tsne_project(x: np.ndarray, dim: int = 2) -> np.ndarray:
+    """t-SNE projection (reference utils/plot.py:5 imports
+    sklearn.manifold.TSNE); falls back to PCA when sklearn is absent."""
+    try:
+        from sklearn.manifold import TSNE
+        n = np.asarray(x).shape[0]
+        perplexity = min(30.0, max(2.0, (n - 1) / 3.0))
+        return TSNE(n_components=dim, perplexity=perplexity,
+                    init="pca", random_state=0).fit_transform(
+                        np.asarray(x, np.float64))
+    except Exception:
+        return pca_project(x, dim)
+
+
 def view_emb(emb: np.ndarray, labels: np.ndarray, out_dir: str,
-             name: str = "emb") -> str:
-    """Save a 2-D PCA scatter of embeddings; falls back to a .npz dump
-    when matplotlib is unavailable."""
-    proj = pca_project(emb, 2)
+             name: str = "emb", method: str = "pca") -> str:
+    """Save a 2-D PCA/t-SNE scatter of embeddings; falls back to a .npz
+    dump when matplotlib is unavailable."""
+    proj = (tsne_project(emb, 2) if method == "tsne"
+            else pca_project(emb, 2))
     os.makedirs(out_dir, exist_ok=True)
     try:
         import matplotlib

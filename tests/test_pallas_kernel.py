@@ -73,6 +73,20 @@ class TestKernelInterpret:
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3,
                                    atol=2e-2)
 
+    def test_bf16_fast_path(self):
+        # bf16 inputs take the one-pass MXU path: bf16-level accuracy,
+        # bf16 output dtype (mixed-precision training mode)
+        n, e = 300, 2000
+        s, r, w, x = rand_coo(n, e, 32)
+        ref = coo_oracle(s, r, w, x, n)
+        pack = K.pack_csr(s, r, w, n)
+        out = K.spmm_packed(pack, jnp.asarray(x, jnp.bfloat16), n,
+                            interpret=True)
+        assert out.dtype == jnp.bfloat16
+        scale = np.abs(ref).max()
+        err = np.abs(np.asarray(out, np.float32) - ref).max()
+        assert err / scale < 2e-2, err / scale
+
     def test_bidir_grad_matches_dense(self):
         n, e, d = 200, 1000, 128
         s, r, w, x = rand_coo(n, e, d)
