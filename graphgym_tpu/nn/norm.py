@@ -36,18 +36,21 @@ class MaskedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((self.features,)))
 
+        # statistics always in f32: under mixed-precision training x may
+        # arrive bf16, and bf16 sums of squares lose too much
+        xs = x.astype(jnp.float32)
         if train:
             if mask is not None:
-                m = mask.astype(x.dtype)[:, None]
+                m = mask.astype(jnp.float32)[:, None]
                 count = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(x * m, axis=0) / count
-                var = jnp.sum(m * (x - mean) ** 2, axis=0) / count
+                mean = jnp.sum(xs * m, axis=0) / count
+                var = jnp.sum(m * (xs - mean) ** 2, axis=0) / count
                 # torch tracks the unbiased variance in running stats
                 unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
             else:
-                mean = jnp.mean(x, axis=0)
-                var = jnp.var(x, axis=0)
-                n = x.shape[0]
+                mean = jnp.mean(xs, axis=0)
+                var = jnp.var(xs, axis=0)
+                n = xs.shape[0]
                 unbiased = var * n / max(n - 1, 1)
             if not self.is_initializing():
                 ra_mean.value = ((1 - self.momentum) * ra_mean.value
@@ -57,12 +60,15 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
+        y = (xs - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
+        y = y.astype(x.dtype)
         return y * scale + bias
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1,
                  eps: float = 1e-12) -> jnp.ndarray:
-    """F.normalize(p=2) equivalent (reference gnn.py:79-80)."""
-    norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
-    return x / jnp.maximum(norm, eps)
+    """F.normalize(p=2) equivalent (reference gnn.py:79-80).  The norm
+    reduction runs in f32 so bf16 activations don't lose the tail."""
+    xs = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(xs * xs, axis=axis, keepdims=True))
+    return (xs / jnp.maximum(norm, eps)).astype(x.dtype)

@@ -80,6 +80,10 @@ def segment_softmax(logits: jnp.ndarray, segment_ids: jnp.ndarray,
     0; fully-masked segments produce all-zero probabilities rather than
     NaN (the reference never sees padding, we must).
     """
+    in_dtype = logits.dtype
+    # softmax internals in f32 (bf16 exp/normalize under mixed precision
+    # is too lossy for attention weights)
+    logits = logits.astype(jnp.float32)
     neg_inf = jnp.asarray(-1e30, logits.dtype)
     if mask is not None:
         logits = jnp.where(mask, logits, neg_inf)
@@ -93,7 +97,7 @@ def segment_softmax(logits: jnp.ndarray, segment_ids: jnp.ndarray,
         exp = jnp.where(mask, exp, 0.0)
     denom = jax.ops.segment_sum(exp, segment_ids, num_segments=num_segments)
     denom = jnp.maximum(denom, jnp.asarray(1e-16, logits.dtype))
-    return exp / denom[segment_ids]
+    return (exp / denom[segment_ids]).astype(in_dtype)
 
 
 def _expand(v: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:

@@ -47,14 +47,35 @@ def count_params(params) -> int:
                    for p in jax.tree_util.tree_leaves(params)))
 
 
+def _cast_for_compute(params, batch, compute_dtype):
+    """Mixed-precision entry (cfg.tpu.dtype): cast float params and
+    input features to the compute dtype for the forward/backward; the
+    master params, optimizer state, batch stats, losses, and metrics all
+    stay f32.  Gradients flow back through the cast as f32."""
+    if compute_dtype is None:
+        return params, batch
+
+    def cast(a):
+        if a is not None and jnp.issubdtype(a.dtype, jnp.floating):
+            return a.astype(compute_dtype)
+        return a
+
+    params = jax.tree_util.tree_map(cast, params)
+    batch = batch.replace(node_feat=cast(batch.node_feat),
+                          edge_feat=cast(batch.edge_feat))
+    return params, batch
+
+
 def make_train_step(model, optimizer, loss_opts: LossOptions,
-                    donate: bool = True):
+                    donate: bool = True, compute_dtype=None):
     def step_fn(state: TrainState, batch, rng):
         def loss_fn(params):
-            variables = {"params": params,
+            cparams, cbatch = _cast_for_compute(params, batch,
+                                                compute_dtype)
+            variables = {"params": cparams,
                          "batch_stats": state.batch_stats}
             (pred, label, mask), mutated = model.apply(
-                variables, batch, True, mutable=["batch_stats"],
+                variables, cbatch, True, mutable=["batch_stats"],
                 rngs={"dropout": rng})
             loss, score = compute_loss(pred, label, mask, loss_opts)
             loss = loss + kernel_l2(params, loss_opts.l2_kernel)
@@ -73,11 +94,13 @@ def make_train_step(model, optimizer, loss_opts: LossOptions,
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, loss_opts: LossOptions):
+def make_eval_step(model, loss_opts: LossOptions, compute_dtype=None):
     def step_fn(state: TrainState, batch):
-        variables = {"params": state.params,
+        cparams, cbatch = _cast_for_compute(state.params, batch,
+                                            compute_dtype)
+        variables = {"params": cparams,
                      "batch_stats": state.batch_stats}
-        pred, label, mask = model.apply(variables, batch, False)
+        pred, label, mask = model.apply(variables, cbatch, False)
         loss, score = compute_loss(pred, label, mask, loss_opts)
         return loss, score, label, mask
 
@@ -126,10 +149,14 @@ class Trainer:
         example = loaders[0].batches(0)[0]
         self.state = init_state(model, init_rng, example, self.optimizer)
         cfg.params = count_params(self.state.params)
+        dtype_name = cfg.tpu.get("dtype", "float32")
+        compute_dtype = (None if dtype_name in ("float32", "f32", "")
+                         else jnp.dtype(dtype_name))
         self.train_step = make_train_step(
             model, self.optimizer, self.loss_opts,
-            donate=cfg.tpu.donate_state)
-        self.eval_step = make_eval_step(model, self.loss_opts)
+            donate=cfg.tpu.donate_state, compute_dtype=compute_dtype)
+        self.eval_step = make_eval_step(model, self.loss_opts,
+                                        compute_dtype=compute_dtype)
 
     # ------------------------------------------------------------ epochs
     def train_epoch(self, logger: Logger, epoch: int):

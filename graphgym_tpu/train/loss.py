@@ -32,6 +32,8 @@ def compute_loss(pred: jnp.ndarray, true: jnp.ndarray,
     pred: [L] or [L, C] logits; true: [L] int labels (or float for
     mse/binary); mask: [L] bool over supervised slots.
     """
+    # loss/softmax always in f32 (mixed-precision heads emit bf16)
+    pred = pred.astype(jnp.float32)
     if pred.ndim > 1 and pred.shape[-1] == 1:
         pred = pred.squeeze(-1)
     if true.ndim > 1 and true.shape[-1] == 1:

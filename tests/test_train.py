@@ -123,3 +123,65 @@ class TestEndToEnd:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         ck.clean_ckpt(cfg.out_dir)
         assert ck.list_ckpt_epochs(cfg.out_dir) == [3]
+
+
+class TestMixedPrecision:
+    def test_bf16_training_runs_and_learns(self, tiny_cfg, tmp_path):
+        """cfg.tpu.dtype=bfloat16: forward/backward in bf16, master
+        params stay f32, loss decreases and stays finite."""
+        import jax
+
+        from graphgym_tpu.data.loaders import create_dataset, create_loader
+        from graphgym_tpu.nn.model import build_model
+        from graphgym_tpu.train.loop import Trainer
+
+        cfg = tiny_cfg
+        cfg.out_dir = str(tmp_path)
+        cfg.tpu.dtype = "bfloat16"
+        try:
+            splits = create_dataset(cfg)
+            splits = [part[:8] for part in splits]
+            loaders = create_loader(splits, cfg)
+            trainer = Trainer(build_model(cfg), loaders, cfg)
+            losses = []
+            for epoch in range(4):
+                lg = Logger("train", task_type="classification_multi")
+                trainer.train_epoch(lg, epoch)
+                losses.append(lg._loss / max(lg._size_current, 1))
+            assert np.isfinite(losses).all(), losses
+            assert losses[-1] < losses[0], losses
+            # master params stay f32
+            for leaf in jax.tree_util.tree_leaves(trainer.state.params):
+                if jnp.issubdtype(leaf.dtype, jnp.floating):
+                    assert leaf.dtype == jnp.float32
+            acc = trainer.eval_epoch(None, 1)
+            assert 0.0 <= acc <= 1.0
+        finally:
+            cfg.tpu.dtype = "float32"
+
+    def test_bf16_forward_close_to_f32(self, tiny_cfg):
+        """One eval forward in bf16 tracks the f32 forward."""
+        from graphgym_tpu.data.loaders import create_dataset, create_loader
+        from graphgym_tpu.nn.model import build_model
+        from graphgym_tpu.train.loop import (TrainState, make_eval_step)
+        import optax
+
+        cfg = tiny_cfg
+        splits = create_dataset(cfg)
+        splits = [part[:8] for part in splits]
+        loaders = create_loader(splits, cfg)
+        model = build_model(cfg)
+        batch = loaders[0].batches(0)[0]
+        variables = model.init(jax.random.PRNGKey(0), batch, False)
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=(), step=jnp.zeros((), jnp.int32))
+        opts = LossOptions()
+        _, s32, _, m = make_eval_step(model, opts)(state, batch)
+        _, s16, _, _ = make_eval_step(model, opts,
+                                      compute_dtype=jnp.bfloat16)(
+            state, batch)
+        valid = np.asarray(m).astype(bool)
+        diff = np.abs(np.asarray(s32) - np.asarray(s16))[valid].max()
+        assert diff < 5e-2, diff
