@@ -83,7 +83,8 @@ def bench_spmm(num_nodes=131072, num_edges=2_000_000, dim=128,
     return num_edges * iters / dt
 
 
-def bench_train_epoch(layer="Tfg-idgcn", impl="pallas", epochs=5):
+def bench_train_epoch(layer="Tfg-idgcn", impl="pallas", epochs=5,
+                      dtype="float32"):
     """Steady-state training epoch time on the ID-GCN/ws workload."""
     import jax
     import numpy as np
@@ -102,7 +103,7 @@ def bench_train_epoch(layer="Tfg-idgcn", impl="pallas", epochs=5):
                     "augment_label_dims": 10, "transform": "ego"},
         "gnn": {"layers_mp": 3, "dim_inner": 128, "layer_type": layer},
         "train": {"batch_size": 128},
-        "tpu": {"spmm_impl": impl},
+        "tpu": {"spmm_impl": impl, "dtype": dtype},
         "optim": {"scheduler": "none"}})
     np.random.seed(1)
     splits = create_dataset(cfg)
@@ -123,10 +124,15 @@ def run_suite(out_path="BENCH_DETAILS.json"):
     for impl in ("xla", "pallas"):
         details[f"spmm_fwd_bwd_{impl}_edges_per_s"] = round(
             bench_spmm(impl=impl), 1)
+    details["spmm_fwd_bwd_pallas_bf16_edges_per_s"] = round(
+        bench_spmm(impl="pallas", dtype="bfloat16"), 1)
     for impl in ("xla", "pallas"):
         dt, eps = bench_train_epoch(impl=impl)
         details[f"idgcn_ws_epoch_s_{impl}"] = round(dt, 4)
         details[f"idgcn_ws_train_edges_per_s_{impl}"] = round(eps, 1)
+    dt, eps = bench_train_epoch(impl="pallas", dtype="bfloat16")
+    details["idgcn_ws_epoch_s_pallas_bf16"] = round(dt, 4)
+    details["idgcn_ws_train_edges_per_s_pallas_bf16"] = round(eps, 1)
     with open(out_path, "w") as f:
         json.dump(details, f, indent=1)
     return details
