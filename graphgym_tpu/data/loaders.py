@@ -49,6 +49,18 @@ def _find_file(name: str, dataset_dir: str) -> Optional[str]:
     return None
 
 
+def _find_raw(fname: str, dataset_dir: str, subname: str) -> str:
+    """Locate a raw dataset file: probe <dir>/<subname>/raw,
+    <dir>/<subname>, and <dir> for every search directory."""
+    for d in [dataset_dir] + _SEARCH_DIRS:
+        for sub in (os.path.join(d, subname, "raw"),
+                    os.path.join(d, subname), d):
+            p = os.path.join(sub, fname)
+            if os.path.exists(p):
+                return p
+    raise FileNotFoundError(f"{fname} not found under {dataset_dir}")
+
+
 def load_nx(name: str, dataset_dir: str) -> List[HostGraph]:
     """Pickled networkx graph lists (reference load_nx,
     loader.py:78-92)."""
@@ -132,18 +144,7 @@ def load_tu(name: str, dataset_dir: str) -> List[HostGraph]:
     DS_graph_indicator.txt, DS_graph_labels.txt, optional
     DS_node_labels.txt / DS_node_attributes.txt) — the format behind
     TUDataset at reference loader.py:34-53."""
-    for d in [dataset_dir] + _SEARCH_DIRS:
-        for sub in (os.path.join(d, name, "raw"), os.path.join(d, name),
-                    d):
-            if os.path.exists(os.path.join(sub, f"{name}_A.txt")):
-                base = sub
-                break
-        else:
-            continue
-        break
-    else:
-        raise FileNotFoundError(
-            f"TU raw files {name}_A.txt not found under {dataset_dir}")
+    base = os.path.dirname(_find_raw(f"{name}_A.txt", dataset_dir, name))
 
     def maybe(fname):
         p = os.path.join(base, fname)
@@ -248,18 +249,7 @@ def load_npz_graph(fname: str, dataset_dir: str) -> List[HostGraph]:
     """Parser for the GNN-benchmark npz format behind PyG's
     Coauthor/Amazon datasets (reference loader.py:56-66): CSR adjacency
     (adj_*), CSR or dense attributes (attr_*), integer labels."""
-    path = None
-    for d in [dataset_dir] + _SEARCH_DIRS:
-        for sub in (d, os.path.join(d, fname.split(".")[0]),
-                    os.path.join(d, fname.split(".")[0], "raw")):
-            p = os.path.join(sub, fname)
-            if os.path.exists(p):
-                path = p
-                break
-        if path:
-            break
-    if path is None:
-        raise FileNotFoundError(f"{fname} not found under {dataset_dir}")
+    path = _find_raw(fname, dataset_dir, fname.split(".")[0])
     with np.load(path, allow_pickle=True) as z:
         adj_shape = tuple(int(v) for v in z["adj_shape"])
         n = adj_shape[0]
@@ -291,19 +281,8 @@ def load_ppi(dataset_dir: str) -> List[HostGraph]:
     {split}_graph_id.npy — one HostGraph per protein graph."""
     import json
 
-    base = None
-    for d in [dataset_dir] + _SEARCH_DIRS:
-        for sub in (os.path.join(d, "PPI", "raw"),
-                    os.path.join(d, "PPI"), d):
-            if os.path.exists(os.path.join(sub, "train_graph.json")):
-                base = sub
-                break
-        if base:
-            break
-    if base is None:
-        raise FileNotFoundError(
-            f"PPI raw files (train_graph.json...) not found under "
-            f"{dataset_dir}")
+    base = os.path.dirname(
+        _find_raw("train_graph.json", dataset_dir, "PPI"))
     graphs = []
     for split in ("train", "valid", "test"):
         gpath = os.path.join(base, f"{split}_graph.json")
@@ -340,18 +319,7 @@ def load_qm7b(dataset_dir: str) -> List[HostGraph]:
     graph_label."""
     from scipy.io import loadmat
 
-    path = None
-    for d in [dataset_dir] + _SEARCH_DIRS:
-        for sub in (os.path.join(d, "QM7b", "raw"),
-                    os.path.join(d, "QM7b"), d):
-            p = os.path.join(sub, "qm7b.mat")
-            if os.path.exists(p):
-                path = p
-                break
-        if path:
-            break
-    if path is None:
-        raise FileNotFoundError(f"qm7b.mat not found under {dataset_dir}")
+    path = _find_raw("qm7b.mat", dataset_dir, "QM7b")
     mat = loadmat(path)
     coulomb = np.asarray(mat["X"], np.float32)
     targets = np.asarray(mat["T"], np.float32)
@@ -374,19 +342,7 @@ def load_mnist_superpixels(dataset_dir: str) -> List[HostGraph]:
     per-graph dicts (x, edge_index, pos, y)."""
     import torch
 
-    path = None
-    for d in [dataset_dir] + _SEARCH_DIRS:
-        for sub in (os.path.join(d, "MNIST", "raw"),
-                    os.path.join(d, "MNIST"), d):
-            p = os.path.join(sub, "MNISTSuperpixels.pt")
-            if os.path.exists(p):
-                path = p
-                break
-        if path:
-            break
-    if path is None:
-        raise FileNotFoundError(
-            f"MNISTSuperpixels.pt not found under {dataset_dir}")
+    path = _find_raw("MNISTSuperpixels.pt", dataset_dir, "MNIST")
     inputs = torch.load(path, weights_only=False)
     graphs = []
     for split in inputs:
@@ -709,16 +665,29 @@ def set_dataset_info(splits, cfg) -> None:
         labels = np.concatenate(
             [np.asarray(g["node_label"]).reshape(-1)
              for part in splits for g in part])
-    if "classification" in cfg.dataset.task_type:
-        num = int(labels.max()) + 1 if labels.size else 2
-        # binary link prediction decodes to a scalar
-        if cfg.dataset.task in ("edge", "link_pred") \
-                and cfg.model.edge_decoding != "concat":
-            cfg.share.dim_out = 1
-        else:
-            cfg.share.dim_out = max(num, 2)
+    # multi-label / multi-target label vectors (PPI [n,121], QM7b [14])
+    if cfg.dataset.task == "graph":
+        label_width = int(np.asarray(g0["graph_label"]).reshape(-1).size)
+    elif cfg.dataset.task == "node" and "node_label" in g0:
+        nl = np.asarray(g0["node_label"])
+        label_width = int(nl.shape[-1]) if nl.ndim > 1 else 1
     else:
-        cfg.share.dim_out = 1
+        label_width = 1
+
+    if "classification" in cfg.dataset.task_type:
+        if label_width > 1:
+            # multi-label: one sigmoid per class (PPI)
+            cfg.share.dim_out = label_width
+        else:
+            num = int(labels.max()) + 1 if labels.size else 2
+            # binary link prediction decodes to a scalar
+            if cfg.dataset.task in ("edge", "link_pred") \
+                    and cfg.model.edge_decoding != "concat":
+                cfg.share.dim_out = 1
+            else:
+                cfg.share.dim_out = max(num, 2)
+    else:
+        cfg.share.dim_out = label_width
     cfg.share.num_splits = len(splits)
 
 
@@ -902,6 +871,8 @@ class GraphLoader:
                 edge_label_idx.append(
                     np.asarray(g["edge_label_index"]) + offset)
             if "graph_label" in g:
+                # keep per-graph shape: scalar class -> (1,), multi-
+                # target regression (e.g. QM7b) -> (T,)
                 graph_labels.append(
                     np.asarray(g["graph_label"]).reshape(-1))
             offset += g.num_nodes
@@ -933,7 +904,8 @@ class GraphLoader:
                 _pad1(eli[0], self.pad_edge_labels, pad_node),
                 _pad1(eli[1], self.pad_edge_labels, pad_node)])
         if graph_labels:
-            kw["graph_label"] = np.concatenate(graph_labels)
+            gl = np.stack(graph_labels)          # [G, 1] or [G, T]
+            kw["graph_label"] = (gl[:, 0] if gl.shape[-1] == 1 else gl)
         if edge_feats and len(edge_feats) == len(graphs):
             kw["edge_feat"] = np.concatenate(edge_feats, axis=0)
 

@@ -149,6 +149,26 @@ def pack_csr(senders: np.ndarray, receivers: np.ndarray,
                      jnp.asarray(out_l), jnp.asarray(out_t))
 
 
+def pad_pack(pack: PackedCSR, pad_chunks_to: int, num_nodes: int,
+             rows_per_tile: int = ROWS_PER_TILE) -> PackedCSR:
+    """Pad an existing pack with no-op chunks (zero weight, last tile)
+    up to a common chunk count — shard-uniform shapes without repacking."""
+    nc, c = pack.senders.shape
+    if pad_chunks_to <= nc:
+        return pack
+    extra = pad_chunks_to - nc
+    num_tiles = (num_nodes + rows_per_tile - 1) // rows_per_tile
+    return PackedCSR(
+        jnp.concatenate([pack.senders,
+                         jnp.full((extra, c), num_nodes, jnp.int32)]),
+        jnp.concatenate([pack.weights,
+                         jnp.zeros((extra, c), jnp.float32)]),
+        jnp.concatenate([pack.local_rows,
+                         jnp.zeros((extra, c), jnp.int32)]),
+        jnp.concatenate([pack.tiles,
+                         jnp.full((extra,), num_tiles - 1, jnp.int32)]))
+
+
 def _kernel(tiles_ref, local_ref, msg_ref, out_ref, acc_ref):
     """One chunk per grid step: acc += onehot^T @ msg; flush on last
     chunk of each tile (pallas writes out_ref back when the out block

@@ -66,6 +66,9 @@ def local_batch_slice(global_size: int) -> slice:
     feed (per-host data loading for multi-host training)."""
     import jax
 
-    per = global_size // jax.process_count()
-    start = jax.process_index() * per
-    return slice(start, start + per)
+    nproc = jax.process_count()
+    idx = jax.process_index()
+    per, rem = divmod(global_size, nproc)
+    # first `rem` processes take one extra row so every row is fed
+    start = idx * per + min(idx, rem)
+    return slice(start, start + per + (1 if idx < rem else 0))

@@ -175,14 +175,12 @@ def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
 
     kw = {}
     if pack:
-        from graphgym_tpu.ops.pallas.spmm_kernel import pack_csr
+        from graphgym_tpu.ops.pallas.spmm_kernel import pack_csr, pad_pack
 
         packs = [pack_csr(senders_ext[k], receivers_loc[k], w_out[k],
                           n_loc) for k in range(num_shards)]
         nc_max = max(p.senders.shape[0] for p in packs)
-        packs = [pack_csr(senders_ext[k], receivers_loc[k], w_out[k],
-                          n_loc, pad_chunks_to=nc_max)
-                 for k in range(num_shards)]
+        packs = [pad_pack(p, nc_max, n_loc) for p in packs]
         kw = dict(
             pack_senders=jnp.stack([p.senders for p in packs]),
             pack_weights=jnp.stack([p.weights for p in packs]),

@@ -118,13 +118,19 @@ class Logger:
     def update_stats(self, true, pred, loss, lr, time_used, params=0):
         self._iter += 1
         true = np.asarray(true)
+        pred = np.asarray(pred)
+        # multi-label (true and score share a trailing class axis, e.g.
+        # PPI [L, 121]): micro-average by flattening label/score pairs
+        if true.ndim > 1 and pred.shape == true.shape:
+            true = true.reshape(-1)
+            pred = pred.reshape(-1)
         self._size_current += len(true)
         self._loss += float(loss) * len(true)
         self._lr = float(lr)
         self._params = params
         self._time_used += float(time_used)
         self._true.append(true)
-        self._pred.append(np.asarray(pred))
+        self._pred.append(pred)
 
     # ------------------------------------------------------------ epoch end
     def basic(self) -> Dict:

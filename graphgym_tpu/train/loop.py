@@ -117,7 +117,12 @@ def _to_host(score, label, mask):
 
 
 def masked_accuracy(score: np.ndarray, label: np.ndarray) -> float:
-    pred = score.argmax(-1) if score.ndim > 1 else (score > 0.5)
+    if score.ndim > 1 and label.ndim > 1:     # multi-label: per-entry
+        pred = score > 0.5
+    elif score.ndim > 1:
+        pred = score.argmax(-1)
+    else:
+        pred = score > 0.5
     return float((pred == label).mean()) if len(label) else 0.0
 
 

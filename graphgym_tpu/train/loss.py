@@ -51,7 +51,10 @@ def compute_loss(pred: jnp.ndarray, true: jnp.ndarray,
             return value
 
     if opts.loss_fun == "cross_entropy":
-        if pred.ndim > 1:
+        # multi-class CE only for integer class labels; same-shape
+        # pred/true (binary or multi-label, e.g. PPI [L, 121]) goes to
+        # BCE-with-logits — reference loss.py:37-44 branches identically
+        if pred.ndim > 1 and true.ndim == 1:
             logp = jax.nn.log_softmax(pred, axis=-1)
             nll = -jnp.take_along_axis(
                 logp, true.astype(jnp.int32)[:, None], axis=-1)[:, 0]
@@ -62,6 +65,8 @@ def compute_loss(pred: jnp.ndarray, true: jnp.ndarray,
             t = true.astype(pred.dtype)
             per = jnp.maximum(pred, 0) - pred * t + \
                 jnp.log1p(jnp.exp(-jnp.abs(pred)))
+            if per.ndim > 1:          # multi-label: mean over classes
+                per = jnp.mean(per, axis=-1)
             per = jnp.where(mask, per, 0.0)
             loss = jnp.sum(per)
             score = jax.nn.sigmoid(pred)

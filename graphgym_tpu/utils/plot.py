@@ -22,13 +22,13 @@ def tsne_project(x: np.ndarray, dim: int = 2) -> np.ndarray:
     sklearn.manifold.TSNE); falls back to PCA when sklearn is absent."""
     try:
         from sklearn.manifold import TSNE
-        n = np.asarray(x).shape[0]
-        perplexity = min(30.0, max(2.0, (n - 1) / 3.0))
-        return TSNE(n_components=dim, perplexity=perplexity,
-                    init="pca", random_state=0).fit_transform(
-                        np.asarray(x, np.float64))
-    except Exception:
+    except ImportError:
         return pca_project(x, dim)
+    n = np.asarray(x).shape[0]
+    perplexity = min(30.0, max(2.0, (n - 1) / 3.0))
+    return TSNE(n_components=dim, perplexity=perplexity,
+                init="pca", random_state=0).fit_transform(
+                    np.asarray(x, np.float64))
 
 
 def view_emb(emb: np.ndarray, labels: np.ndarray, out_dir: str,

@@ -119,3 +119,76 @@ class TestEdgeTransform:
         # after the transform the task must be node classification
         assert cfg.dataset.task == "node"
         assert np.isfinite(losses[-1])
+
+
+class TestMultiLabelAndMultiTarget:
+    """PPI-style multi-label node classification and QM7b-style
+    multi-target graph regression must survive the FULL pipeline
+    (loader -> collate -> dims -> loss -> metrics), not just parsing."""
+
+    def _write_ppi(self, tmp_path, n_graphs=3, n=8, classes=5):
+        import json
+        rng = np.random.default_rng(0)
+        base = tmp_path / "PPI" / "raw"
+        base.mkdir(parents=True)
+        links, gids = [], []
+        off = 0
+        for gi in range(n_graphs):
+            for _ in range(2 * n):
+                a, b = rng.integers(0, n, 2)
+                if a != b:
+                    links.append({"source": int(a + off),
+                                  "target": int(b + off)})
+            gids += [gi] * n
+            off += n
+        with open(base / "train_graph.json", "w") as f:
+            json.dump({"links": links}, f)
+        np.save(base / "train_feats.npy",
+                rng.normal(size=(off, 4)).astype(np.float32))
+        np.save(base / "train_labels.npy",
+                (rng.random((off, classes)) > 0.5).astype(np.int64))
+        np.save(base / "train_graph_id.npy", np.asarray(gids))
+
+    def test_ppi_multilabel_trains(self, tmp_path):
+        self._write_ppi(tmp_path)
+        cfg = get_cfg()
+        cfg.merge_from_dict({
+            "dataset": {"format": "PyG", "name": "PPI",
+                        "dir": str(tmp_path), "task": "node",
+                        "task_type": "classification_binary",
+                        "transductive": False, "split": [0.67, 0.33]},
+            "gnn": {"layers_mp": 1, "dim_inner": 8,
+                    "layer_type": "gcnconv"},
+            "train": {"batch_size": 2},
+            "optim": {"scheduler": "none"}})
+        tr, losses = train_few(cfg, epochs=3, subset=4)
+        assert cfg.share.dim_out == 5
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+        acc = tr.eval_epoch(None, 1)
+        assert 0.0 <= acc <= 1.0
+
+    def test_qm7b_multitarget_regression_trains(self, tmp_path):
+        from scipy.io import savemat
+        rng = np.random.default_rng(0)
+        X = np.zeros((4, 6, 6), np.float32)
+        for i in range(4):
+            m = rng.random((6, 6)).astype(np.float32)
+            X[i] = (m + m.T) * (rng.random((6, 6)) > 0.4)
+        T = rng.random((4, 14)).astype(np.float32)
+        savemat(tmp_path / "qm7b.mat", {"X": X, "T": T})
+        cfg = get_cfg()
+        cfg.merge_from_dict({
+            "dataset": {"format": "PyG", "name": "QM7b",
+                        "dir": str(tmp_path), "task": "graph",
+                        "task_type": "regression",
+                        "split": [0.5, 0.5]},
+            "model": {"loss_fun": "mse"},
+            "gnn": {"layers_mp": 1, "dim_inner": 8,
+                    "layer_type": "gcnconv"},
+            "train": {"batch_size": 2},
+            "optim": {"scheduler": "none"}})
+        tr, losses = train_few(cfg, epochs=3, subset=4)
+        assert cfg.share.dim_out == 14
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses

@@ -109,6 +109,12 @@ def run_one(model_key: str, dataset: str, seed: int, epochs,
     import jax
     import random
 
+    # honor a platform override (GRAPHGYM_PLATFORM=cpu lets parity runs
+    # fan out on host cores while the single TPU trains other models)
+    plat = os.environ.get("GRAPHGYM_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     cfg_dir, _ = MODELS[model_key]
     path = f"{REF}/config/{cfg_dir}/{model_key}_node_{dataset}.yaml"
     if not os.path.exists(path):
@@ -221,6 +227,9 @@ def main():
             if not accs:
                 continue
             ref = reference_acc(model_key, dataset)
+            # replace any stale partial row for this combo
+            rows = [r for r in rows
+                    if (r["model"], r["dataset"]) != (model_key, dataset)]
             rows.append({
                 "model": model_key, "dataset": dataset,
                 "ours": round(float(np.mean(accs)), 4),
