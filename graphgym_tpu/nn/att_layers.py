@@ -57,11 +57,15 @@ class GeneralAddAttConv(nn.Module):
         w = self.param("kernel", glorot, (x.shape[-1], self.dim_out))
         att = self.param("att", glorot, (1, self.heads, 2 * ph))
         h = (x @ w).reshape(n, self.heads, ph)
+        # decomposed additive score (a . [h_i||h_j] = a_l.h_i + a_r.h_j):
+        # per-node [N, H] halves, scalar gathers per edge
+        s_dst = jnp.sum(h * att[:, :, :ph], axis=-1)
+        s_src = jnp.sum(h * att[:, :, ph:], axis=-1)
         senders, receivers, mask = _with_self_loops(graph)
-        h_i = jnp.take(h, receivers, axis=0)
         h_j = jnp.take(h, senders, axis=0)
-        alpha = jnp.sum(jnp.concatenate([h_i, h_j], -1) * att, -1)
-        alpha = jax.nn.leaky_relu(alpha, self.negative_slope)
+        alpha = jax.nn.leaky_relu(
+            jnp.take(s_dst, receivers, axis=0)
+            + jnp.take(s_src, senders, axis=0), self.negative_slope)
         alpha = S.segment_softmax(alpha, receivers, n,
                                   mask=mask[:, None]
                                   & jnp.ones_like(alpha, bool))

@@ -208,16 +208,20 @@ class GATIDConv(nn.Module):
         h = sp.apply_id_weights(x, idx, w, w_id, id_mask)
         h = h.reshape(n, self.heads, per_head)
 
+        # additive score decomposed per endpoint (see layers.GATConv):
+        # a . [h_i || h_j] = a_l . h_i + a_r . h_j
+        s_dst = jnp.sum(h * att[:, :, :per_head], axis=-1)   # [N, H]
+        s_src = jnp.sum(h * att[:, :, per_head:], axis=-1)
+
+        def lrelu(a):
+            return jax.nn.leaky_relu(a, negative_slope=self.negative_slope)
+
         if self.att_dropout == 0:
             from graphgym_tpu.nn.layers import packed_attention
 
-            def score(h_i, h_j):
-                a = jnp.sum(jnp.concatenate([h_i, h_j], -1)
-                            * att[None], axis=-1)
-                return jax.nn.leaky_relu(
-                    a, negative_slope=self.negative_slope)
-
-            packed = packed_attention(graph, h, score)
+            packed = packed_attention(graph, h, None,
+                                      node_scores=(s_dst, s_src),
+                                      score_transform=lrelu)
             if packed is not None:
                 out = packed.reshape(n, self.dim_out) \
                     if self.concat_heads else jnp.mean(packed, axis=1)
@@ -231,10 +235,9 @@ class GATIDConv(nn.Module):
         receivers = jnp.concatenate([graph.receivers, loop])
         mask = jnp.concatenate([graph.edge_mask, graph.node_mask])
 
-        h_i = jnp.take(h, receivers, axis=0)
         h_j = jnp.take(h, senders, axis=0)
-        alpha = jnp.sum(jnp.concatenate([h_i, h_j], axis=-1) * att, axis=-1)
-        alpha = jax.nn.leaky_relu(alpha, negative_slope=self.negative_slope)
+        alpha = lrelu(jnp.take(s_dst, receivers, axis=0)
+                      + jnp.take(s_src, senders, axis=0))
         alpha = S.segment_softmax(
             alpha, receivers, n,
             mask=mask[:, None] & jnp.ones_like(alpha, bool))

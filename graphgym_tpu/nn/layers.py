@@ -50,7 +50,8 @@ def packed_spmm(graph: GraphBatch, kind: str, h: jnp.ndarray):
 
 def packed_attention(graph: GraphBatch, h_heads: jnp.ndarray,
                      score_fn, values: Optional[jnp.ndarray] = None,
-                     keys: Optional[jnp.ndarray] = None):
+                     keys: Optional[jnp.ndarray] = None,
+                     node_scores=None, score_transform=None):
     """Fused-layout multi-head attention over the 'att' pack: per-edge
     scores and softmax run on scalars in packed slot order (no [E, D]
     scatters), value aggregation through the differentiable Pallas
@@ -59,6 +60,12 @@ def packed_attention(graph: GraphBatch, h_heads: jnp.ndarray,
     h_heads: [N, H, d] per-head receiver-side (query) features; keys
     defaults to h_heads (sender side); values defaults to h_heads.
     score_fn(h_i, h_j) -> [NC, C, H] raw scores.
+
+    node_scores: optional (s_dst [N, H], s_src [N, H]) pair for scores
+    that decompose per node (GAT's additive attention: a . [h_i || h_j]
+    = a_l . h_i + a_r . h_j).  When given, only the [E, H] *scalars* are
+    gathered per edge — the [E, H, d] query/key vector gathers vanish —
+    and alpha = score_transform(s_dst[i] + s_src[j]).
     Returns [N, H, dv] aggregated output, or None when no 'att' pack.
     """
     if graph.packs is None or "att" not in graph.packs:
@@ -68,7 +75,6 @@ def packed_attention(graph: GraphBatch, h_heads: jnp.ndarray,
     fwd, _ = graph.packs["att"]
     n = graph.num_nodes
     H = h_heads.shape[1]
-    k = keys if keys is not None else h_heads
     v = values if values is not None else h_heads
     dv = v.shape[-1]
     rows = pack_rows(fwd)                       # [NC, C]
@@ -82,9 +88,17 @@ def packed_attention(graph: GraphBatch, h_heads: jnp.ndarray,
         return jnp.take(padded, idx.reshape(-1), axis=0).reshape(
             idx.shape + arr.shape[1:])
 
-    h_j = take_padded(k, fwd.senders)           # [NC, C, H, d]
-    h_i = take_padded(h_heads, rows)
-    alpha = score_fn(h_i, h_j)                  # [NC, C, H]
+    if node_scores is not None:
+        s_dst, s_src = node_scores
+        alpha = (take_padded(s_dst, rows)
+                 + take_padded(s_src, fwd.senders))  # [NC, C, H]
+        if score_transform is not None:
+            alpha = score_transform(alpha)
+    else:
+        k = keys if keys is not None else h_heads
+        h_j = take_padded(k, fwd.senders)       # [NC, C, H, d]
+        h_i = take_padded(h_heads, rows)
+        alpha = score_fn(h_i, h_j)              # [NC, C, H]
     flat = alpha.reshape(-1, H)
     flat_rows = rows.reshape(-1)
     mask = valid.reshape(-1)[:, None] & jnp.ones_like(flat, bool)
@@ -278,14 +292,19 @@ class GATConv(nn.Module):
         h = jnp.dot(x, w, preferred_element_type=x.dtype)
         h = h.reshape(n, self.heads, per_head)
 
-        if self.att_dropout == 0:
-            def score(h_i, h_j):
-                a = jnp.sum(jnp.concatenate([h_i, h_j], -1)
-                            * att[None], axis=-1)
-                return jax.nn.leaky_relu(
-                    a, negative_slope=self.negative_slope)
+        # The additive score decomposes per endpoint:
+        # a . [h_i || h_j] = a_l . h_i + a_r . h_j — compute the [N, H]
+        # halves once on nodes, gather scalars (not vectors) per edge.
+        s_dst = jnp.sum(h * att[:, :, :per_head], axis=-1)   # [N, H]
+        s_src = jnp.sum(h * att[:, :, per_head:], axis=-1)
 
-            packed = packed_attention(graph, h, score)
+        def lrelu(a):
+            return jax.nn.leaky_relu(a, negative_slope=self.negative_slope)
+
+        if self.att_dropout == 0:
+            packed = packed_attention(graph, h, None,
+                                      node_scores=(s_dst, s_src),
+                                      score_transform=lrelu)
             if packed is not None:
                 out = packed.reshape(n, self.heads * per_head) \
                     if self.concat_heads else jnp.mean(packed, axis=1)
@@ -299,10 +318,9 @@ class GATConv(nn.Module):
         receivers = jnp.concatenate([graph.receivers, loop])
         mask = jnp.concatenate([graph.edge_mask, graph.node_mask])
 
-        h_i = jnp.take(h, receivers, axis=0)   # [E, H, F]
-        h_j = jnp.take(h, senders, axis=0)
-        alpha = jnp.sum(jnp.concatenate([h_i, h_j], axis=-1) * att, axis=-1)
-        alpha = jax.nn.leaky_relu(alpha, negative_slope=self.negative_slope)
+        h_j = jnp.take(h, senders, axis=0)     # [E, H, F]
+        alpha = lrelu(jnp.take(s_dst, receivers, axis=0)
+                      + jnp.take(s_src, senders, axis=0))   # [E, H]
         alpha = S.segment_softmax(alpha, receivers, n,
                                   mask=mask[:, None] & jnp.ones_like(
                                       alpha, bool))
