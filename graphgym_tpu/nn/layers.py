@@ -49,7 +49,7 @@ def packed_spmm(graph: GraphBatch, kind: str, h: jnp.ndarray):
 
 
 def packed_attention(graph: GraphBatch, h_heads: jnp.ndarray,
-                     score_fn, values: Optional[jnp.ndarray] = None,
+                     score_fn=None, values: Optional[jnp.ndarray] = None,
                      keys: Optional[jnp.ndarray] = None,
                      node_scores=None, score_transform=None):
     """Fused-layout multi-head attention over the 'att' pack: per-edge
@@ -70,6 +70,8 @@ def packed_attention(graph: GraphBatch, h_heads: jnp.ndarray,
     """
     if graph.packs is None or "att" not in graph.packs:
         return None
+    assert score_fn is not None or node_scores is not None, (
+        "packed_attention needs either score_fn or node_scores")
     from graphgym_tpu.ops.pallas.spmm_kernel import (pack_rows,
                                                      segment_matmul_vjp)
     fwd, _ = graph.packs["att"]

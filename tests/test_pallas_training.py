@@ -47,7 +47,8 @@ def test_pallas_path_matches_xla(layer):
     assert abs(acc_x - acc_p) < 5e-3, (layer, acc_x, acc_p)
 
 
-@pytest.mark.parametrize("layer", ["gatconv", "Tfg-gatconv"])
+@pytest.mark.parametrize("layer", ["gatconv", "Tfg-gatconv",
+                                   "gatidconv"])
 def test_pallas_attention_matches_xla(layer):
     """GAT packed path. BatchNorm disabled: with near-constant input
     features some BN dims have ~0 variance and amplify legitimate
