@@ -264,8 +264,21 @@ def set_cfg(cfg: CfgNode) -> CfgNode:
     cfg.tpu.spmm_impl = "auto"       # xla / pallas / auto
     cfg.tpu.dtype = "float32"        # compute dtype for node features
     cfg.tpu.pad_buckets = True       # power-of-two shape bucketing
-    cfg.tpu.mesh_shape = []          # e.g. [8] edge-partition axis
-    cfg.tpu.mesh_axes = ["data"]
+    # Multi-chip training: non-empty mesh_shape makes the Trainer build
+    # a jax.sharding.Mesh and run the jitted step over it.  Axis 0
+    # (mesh_axes[0]) partitions the graph (edges, and nodes when
+    # partition == 'node'); axis 1 is tensor (feature) parallelism.
+    cfg.tpu.mesh_shape = []          # e.g. [8] or [4, 2]
+    cfg.tpu.mesh_axes = ["edge", "feature"]
+    # Distributed graph layout over mesh axis 0:
+    #   'replicated' — every chip holds the full node table; edges are
+    #       sharded and XLA all-reduces the partial aggregations
+    #       (simple, O(N x D) comm per MP layer).
+    #   'node'       — nodes are range-partitioned; each batch carries
+    #       EdgePartitionPlans (BFS-reordered, receiver-owned edges)
+    #       and layers aggregate via halo all_to_all of boundary rows
+    #       only (O(boundary) comm; the north-star layout).
+    cfg.tpu.partition = "replicated"
     cfg.tpu.donate_state = True
     cfg.tpu.profile = False          # jax.profiler trace into out_dir
     cfg.tpu.profile_epochs = 3       # epochs to capture when profiling

@@ -758,6 +758,12 @@ class GraphLoader:
             if bucket else max(sum(top_el), 1)
         self.pad_ids = bucket_size(max(sum(top_id), 1)) if bucket \
             else max(sum(top_id), 1)
+        if self.cfg.tpu.mesh_shape:
+            # multi-chip layouts need evenly divisible shard extents
+            from graphgym_tpu.graphs.container import round_up
+            shards = int(self.cfg.tpu.mesh_shape[0])
+            self.pad_nodes = round_up(self.pad_nodes, shards)
+            self.pad_edges = round_up(self.pad_edges, shards)
 
     def __len__(self):
         return (len(self.graphs) + self.batch_size - 1) // self.batch_size
@@ -926,7 +932,9 @@ class GraphLoader:
                     if jax.default_backend() == "tpu"
                     and len(jax.devices()) == 1
                     and cfg.train.sampler == "full_batch" else "xla")
-        if impl == "pallas":
+        partition_node = bool(cfg.tpu.mesh_shape) \
+            and cfg.tpu.partition == "node"
+        if impl == "pallas" and not cfg.tpu.mesh_shape:
             from graphgym_tpu.graphs.packing import (build_packs,
                                                      kinds_for_layer)
             kinds = kinds_for_layer(cfg.gnn.layer_type)
@@ -945,6 +953,34 @@ class GraphLoader:
         if batch.node_id_index is not None:
             batch = _repad_index(batch, "node_id_index", "id_mask",
                                  self.pad_ids)
+        if partition_node:
+            # Multi-chip 'node' layout: BFS-reorder nodes so shard-
+            # contiguous row blocks are graph neighborhoods (small
+            # halo), then attach per-kind halo-exchange plans that the
+            # layers dispatch when the Trainer's mesh is active.
+            from graphgym_tpu.graphs.container import permute_nodes
+            from graphgym_tpu.graphs.packing import kinds_for_layer
+            from graphgym_tpu.parallel.partition import (
+                balanced_partition_order, build_plans)
+
+            num_shards = int(cfg.tpu.mesh_shape[0])
+            perm = balanced_partition_order(
+                np.asarray(batch.senders), np.asarray(batch.receivers),
+                np.asarray(batch.edge_weight), num_real=offset,
+                num_nodes=batch.num_nodes, num_shards=num_shards)
+            batch = permute_nodes(batch, perm)
+            kinds = kinds_for_layer(cfg.gnn.layer_type)
+            if kinds:
+                import jax
+                pack = (impl == "pallas"
+                        and jax.default_backend() == "tpu")
+                plans = build_plans(
+                    np.asarray(batch.senders),
+                    np.asarray(batch.receivers),
+                    np.asarray(batch.edge_weight),
+                    np.asarray(batch.node_mask), batch.num_nodes,
+                    num_shards, kinds=kinds, pack=pack)
+                batch = batch.replace(plans=plans)
         return batch
 
 

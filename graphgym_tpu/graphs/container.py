@@ -86,6 +86,12 @@ class GraphBatch:
     # dict kind -> (fwd PackedCSR, bwd PackedCSR); kinds: 'gcn'
     # (sym-normalized A+I), 'plain' (raw A), 'mean' (D^-1 A).
     packs: Optional[dict] = None
+    # Optional multi-chip edge-partition plans
+    # (parallel.partition.EdgePartitionPlan): dict kind -> plan, same
+    # kind vocabulary as packs.  Built by the loader when
+    # cfg.tpu.partition == 'node'; layers dispatch partitioned_spmm /
+    # partitioned_attention when a mesh is active.
+    plans: Optional[dict] = None
 
     # ---------------------------------------------------------------- sizes
     @property
@@ -142,6 +148,51 @@ class GraphBatch:
         """Reverse message direction (SparseAdj.transpose,
         sparse_adj.py:124-127)."""
         return self.replace(senders=self.receivers, receivers=self.senders)
+
+
+def permute_nodes(batch: GraphBatch, new_id: np.ndarray) -> GraphBatch:
+    """Relabel node slots by the permutation ``new_id[old] -> new``.
+
+    Node-aligned arrays are scattered to their new rows; node-index
+    arrays (senders/receivers/label indexes) are mapped through the
+    permutation.  Labels move with their nodes, so downstream gathers
+    (heads, loss masks) are unaffected.  Used by the multi-chip 'node'
+    partition layout to install a locality-improving BFS order before
+    EdgePartitionPlans are built.
+    """
+    new_id = np.asarray(new_id)
+    n = batch.num_nodes
+    assert new_id.shape == (n,)
+
+    def reorder(a):
+        if a is None:
+            return None
+        a = np.asarray(a)
+        out = np.empty_like(a)
+        out[new_id] = a
+        return jnp.asarray(out)
+
+    def remap(a):
+        if a is None:
+            return None
+        a = np.asarray(a)
+        return jnp.asarray(new_id[a].astype(a.dtype))
+
+    kw = dict(
+        senders=remap(batch.senders),
+        receivers=remap(batch.receivers),
+        node_feat=reorder(batch.node_feat),
+        node_mask=reorder(batch.node_mask),
+        graph_ids=reorder(batch.graph_ids),
+        node_label_index=remap(batch.node_label_index),
+        node_id_index=remap(batch.node_id_index),
+        edge_label_index=remap(batch.edge_label_index),
+    )
+    if batch.node_label is not None \
+            and batch.node_label.shape[0] == n:
+        kw["node_label"] = reorder(batch.node_label)
+    return batch.replace(**{k: v for k, v in kw.items()
+                            if getattr(batch, k) is not None})
 
 
 def pad_to(x: np.ndarray, n: int, fill=0) -> np.ndarray:

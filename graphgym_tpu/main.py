@@ -39,11 +39,19 @@ def run_single(cfg, out_dir_parent: str, cfg_file: str):
     from graphgym_tpu.train.logger import create_logger, setup_printing
     from graphgym_tpu.train.loop import Trainer
 
+    from graphgym_tpu.parallel.multihost import initialize_multihost
+    from graphgym_tpu.utils.device import auto_select_device
+
     random.seed(cfg.seed)
     np.random.seed(cfg.seed)
     update_out_dir(cfg, out_dir_parent, cfg_file)
     dump_cfg(cfg)
     setup_printing(cfg.print, cfg.out_dir)
+    # comm backend + device pinning (reference auto_select_device,
+    # utils/device.py:38; multi-host runtime has no reference
+    # counterpart — SURVEY.md §5.8)
+    initialize_multihost()
+    auto_select_device(cfg)
 
     splits = create_dataset(cfg)
     loaders = create_loader(splits, cfg)

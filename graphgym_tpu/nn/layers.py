@@ -40,12 +40,30 @@ zeros_init = nn.initializers.zeros
 def packed_spmm(graph: GraphBatch, kind: str, h: jnp.ndarray):
     """Use the batch-carried Pallas pack when present (built by the
     loader when cfg.tpu.spmm_impl == 'pallas'); None -> caller falls
-    back to the XLA path."""
+    back to the XLA path.
+
+    When a device mesh is active (Trainer wraps its jitted steps in
+    parallel.context.use_mesh) and the loader attached
+    EdgePartitionPlans (cfg.tpu.partition == 'node'), dispatches the
+    halo-exchange partitioned SpMM instead — the multi-chip execution
+    path of every SpMM-based layer."""
+    mesh = _active_mesh()
+    if mesh is not None and graph.plans is not None \
+            and kind in graph.plans:
+        from graphgym_tpu.parallel.partition import partitioned_spmm
+        plan = graph.plans[kind]
+        return partitioned_spmm(plan, h, mesh, axis=mesh.axis_names[0],
+                                use_kernel=plan.pack_senders is not None)
     if graph.packs is not None and kind in graph.packs:
         from graphgym_tpu.ops.pallas.spmm_kernel import spmm_pack_vjp
         fwd, bwd = graph.packs[kind]
         return spmm_pack_vjp(fwd, bwd, h)
     return None
+
+
+def _active_mesh():
+    from graphgym_tpu.parallel.context import active_mesh
+    return active_mesh()
 
 
 def packed_attention(graph: GraphBatch, h_heads: jnp.ndarray,
@@ -68,10 +86,20 @@ def packed_attention(graph: GraphBatch, h_heads: jnp.ndarray,
     and alpha = score_transform(s_dst[i] + s_src[j]).
     Returns [N, H, dv] aggregated output, or None when no 'att' pack.
     """
-    if graph.packs is None or "att" not in graph.packs:
-        return None
     assert score_fn is not None or node_scores is not None, (
         "packed_attention needs either score_fn or node_scores")
+    mesh = _active_mesh()
+    if mesh is not None and graph.plans is not None \
+            and "att" in graph.plans:
+        from graphgym_tpu.parallel.partition import partitioned_attention
+        return partitioned_attention(
+            graph.plans["att"], h_heads,
+            keys if keys is not None else h_heads,
+            values if values is not None else h_heads, mesh,
+            score_fn=score_fn, axis=mesh.axis_names[0],
+            node_scores=node_scores, score_transform=score_transform)
+    if graph.packs is None or "att" not in graph.packs:
+        return None
     from graphgym_tpu.ops.pallas.spmm_kernel import (pack_rows,
                                                      segment_matmul_vjp)
     fwd, _ = graph.packs["att"]

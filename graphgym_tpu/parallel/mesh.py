@@ -59,24 +59,52 @@ BATCH_SPECS = {
     "node_feat": P(None, "feature"),
 }
 
+# 'node' partition layout: node tables row-sharded over the edge axis
+# to match the halo-exchange plans (parallel.partition).
+NODE_BATCH_SPECS = dict(
+    BATCH_SPECS,
+    node_feat=P("edge", None),
+    node_mask=P("edge"),
+    node_label=P("edge"),
+    graph_ids=P("edge"),
+)
 
-def batch_shardings(mesh: Mesh):
-    """Field name -> PartitionSpec for the standard layout (fields not
-    listed are replicated)."""
-    return {k: NamedSharding(mesh, s) for k, s in BATCH_SPECS.items()}
+
+def _specs_for(mesh: Mesh, layout: str):
+    """Rename the canonical 'edge'/'feature' spec axes to the mesh's
+    actual axis names (axis 0 = graph partition, axis 1 = tensor)."""
+    ax = mesh.axis_names
+    ren = {"edge": ax[0],
+           "feature": ax[1] if len(ax) > 1 else None}
+    base = NODE_BATCH_SPECS if layout == "node" else BATCH_SPECS
+    return {k: P(*(ren.get(p, p) if isinstance(p, str) else p
+                   for p in s))
+            for k, s in base.items()}
 
 
-def shard_batch(batch: GraphBatch, mesh: Mesh) -> GraphBatch:
-    """Place a host GraphBatch onto the mesh with the standard layout."""
+def batch_shardings(mesh: Mesh, layout: str = "replicated"):
+    """Field name -> NamedSharding for the layout (fields not listed
+    are replicated)."""
+    return {k: NamedSharding(mesh, s)
+            for k, s in _specs_for(mesh, layout).items()}
+
+
+def shard_batch(batch: GraphBatch, mesh: Mesh,
+                layout: str = "replicated") -> GraphBatch:
+    """Place a host GraphBatch onto the mesh.  layout='replicated'
+    shards edges + feature columns with a replicated node table;
+    layout='node' additionally row-shards the node tables and the
+    attached EdgePartitionPlans (leading axis = shard)."""
     import dataclasses
 
+    specs = _specs_for(mesh, layout)
     rep = NamedSharding(mesh, P())
     updates = {}
     for f in dataclasses.fields(batch):
         v = getattr(batch, f.name)
         if v is None or not hasattr(v, "ndim"):
             continue
-        spec = BATCH_SPECS.get(f.name, P())
+        spec = specs.get(f.name, P())
         if len(spec) > v.ndim:
             spec = P(*spec[:v.ndim])
         # only shard dims that divide evenly; else replicate
@@ -86,22 +114,35 @@ def shard_batch(batch: GraphBatch, mesh: Mesh) -> GraphBatch:
                 ok = False
         s = NamedSharding(mesh, spec) if ok else rep
         updates[f.name] = jax.device_put(v, s)
+    if batch.plans:
+        shard0 = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+        def place(a):
+            if a is None or not hasattr(a, "ndim"):
+                return a
+            return jax.device_put(a, shard0)
+
+        updates["plans"] = {
+            kind: jax.tree_util.tree_map(place, plan)
+            for kind, plan in batch.plans.items()}
     return batch.replace(**updates)
 
 
 def param_shardings(params, mesh: Mesh):
-    """Column-shard every rank-2 'kernel' over the feature axis; shard
-    rank-1 biases over feature when divisible; replicate the rest."""
-    fsize = mesh.shape.get("feature", 1)
+    """Column-shard every rank-2 'kernel' over the feature (tensor)
+    axis — mesh axis 1; shard rank-1 biases over it when divisible;
+    replicate the rest."""
+    feat = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
+    fsize = mesh.shape.get(feat, 1) if feat else 1
 
     def spec(path, leaf):
         name = "/".join(str(getattr(p, "key", p)) for p in path)
-        if leaf.ndim == 2 and leaf.shape[1] % fsize == 0 \
+        if feat and leaf.ndim == 2 and leaf.shape[1] % fsize == 0 \
                 and "kernel" in name:
-            return NamedSharding(mesh, P(None, "feature"))
-        if leaf.ndim == 1 and leaf.shape[0] % fsize == 0 \
+            return NamedSharding(mesh, P(None, feat))
+        if feat and leaf.ndim == 1 and leaf.shape[0] % fsize == 0 \
                 and ("bias" in name or "scale" in name):
-            return NamedSharding(mesh, P("feature"))
+            return NamedSharding(mesh, P(feat))
         return NamedSharding(mesh, P())
 
     flat = jax.tree_util.tree_flatten_with_path(params)

@@ -38,6 +38,13 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
     if coordinator_address is None and num_processes is None:
         # Cloud TPU pod slices auto-detect; bare single host no-ops.
+        # Only attempt auto-detection when a pod-slice launcher marker
+        # is present — a plain single-host run must never block on a
+        # coordinator handshake.
+        markers = ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                   "CLOUD_TPU_TASK_ID", "JAX_COORDINATOR_ADDRESS")
+        if not any(m in os.environ for m in markers):
+            return False
         try:
             jax.distributed.initialize()
             if jax.process_count() > 1:

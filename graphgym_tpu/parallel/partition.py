@@ -99,13 +99,87 @@ def bfs_ordering(senders: np.ndarray, receivers: np.ndarray,
     return new_id
 
 
+def balanced_partition_order(senders: np.ndarray,
+                             receivers: np.ndarray,
+                             edge_weight: Optional[np.ndarray],
+                             num_real: int, num_nodes: int,
+                             num_shards: int) -> np.ndarray:
+    """Node permutation ``new_id[old]`` for the 'node' partition layout:
+
+    * real nodes are BFS-ordered (locality: neighborhoods land in the
+      same contiguous shard range, shrinking the halo), and
+    * spread EVENLY across shards (each shard owns ~num_real/Pn real
+      rows — without this, padding would pile onto the last shards and
+      the first shards would own all the edges), with
+    * padding slots filling each shard's tail; the global padding node
+      (num_nodes - 1, the scatter target of padded edges) stays last.
+    """
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    if edge_weight is not None:
+        real = np.asarray(edge_weight) != 0
+        senders, receivers = senders[real], receivers[real]
+    bfs = bfs_ordering(senders, receivers, num_real)  # rank[old_real]
+    n_loc = num_nodes // num_shards
+    r_loc = -(-num_real // num_shards)                # ceil
+    assert r_loc <= n_loc, (num_real, num_nodes, num_shards)
+    new_id = np.empty(num_nodes, np.int64)
+    new_id[:num_real] = (bfs // r_loc) * n_loc + (bfs % r_loc)
+    taken = np.zeros(num_nodes, bool)
+    taken[new_id[:num_real]] = True
+    new_id[num_real:] = np.nonzero(~taken)[0]
+    return new_id
+
+
+def build_plans(senders: np.ndarray, receivers: np.ndarray,
+                edge_weight: np.ndarray, node_mask: np.ndarray,
+                num_nodes: int, num_shards: int,
+                kinds=("gcn",), pack: bool = False,
+                bucket: bool = True) -> dict:
+    """Kind-weighted EdgePartitionPlans for a collated batch — the
+    multi-chip counterpart of graphs.packing.build_packs (same kind
+    vocabulary and normalization formulas; reference weights:
+    TfgIDLayer.py:528-566 gcn sym-norm, idconv.py mean/plain aggs)."""
+    from graphgym_tpu.graphs.packing import _gcn_weights, _mean_weights
+
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    edge_weight = np.asarray(edge_weight, np.float32)
+    node_mask = np.asarray(node_mask, bool)
+    out = {}
+    for kind in kinds:
+        if kind == "gcn":
+            s, r, w = _gcn_weights(senders, receivers, edge_weight,
+                                   node_mask, num_nodes)
+        elif kind == "plain":
+            s, r, w = senders, receivers, edge_weight
+        elif kind == "mean":
+            s, r, w = _mean_weights(senders, receivers, edge_weight,
+                                    num_nodes)
+        elif kind == "att":
+            loop = np.arange(num_nodes, dtype=senders.dtype)
+            s = np.concatenate([senders, loop])
+            r = np.concatenate([receivers, loop])
+            w = np.concatenate([(edge_weight != 0).astype(np.float32),
+                                node_mask.astype(np.float32)])
+        else:
+            raise ValueError(f"Unknown plan kind {kind}")
+        out[kind] = plan_edge_partition(s, r, w, num_nodes, num_shards,
+                                        pack=pack, bucket=bucket)
+    return out
+
+
 def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
                         edge_weight: Optional[np.ndarray],
                         num_nodes: int, num_shards: int,
-                        pack: bool = False) -> EdgePartitionPlan:
+                        pack: bool = False,
+                        bucket: bool = False) -> EdgePartitionPlan:
     """Build the partition plan on the host (numpy).  With pack=True,
     also build per-shard packed-chunk layouts so partitioned_spmm can
-    run the Pallas kernel per chip (scatter-free local reduction)."""
+    run the Pallas kernel per chip (scatter-free local reduction).
+    bucket=True rounds the per-shard edge and halo capacities up to
+    power-of-two-ish buckets so plans from different batches share
+    shapes (one compiled program per split)."""
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
     e = len(senders)
@@ -122,6 +196,9 @@ def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
                        for k in range(num_shards)]
     e_max = max((len(ix) for ix in per_shard_edges), default=1)
     e_max = max(e_max, 1)
+    if bucket:
+        from graphgym_tpu.graphs.container import bucket_size
+        e_max = bucket_size(e_max)
 
     # boundary sets: remote senders needed by shard k from shard s
     needed = [[None] * num_shards for _ in range(num_shards)]
@@ -136,6 +213,9 @@ def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
             ids = np.unique(s_k[src == s])
             needed[k][s] = ids
             h_max = max(h_max, len(ids))
+    if bucket:
+        from graphgym_tpu.graphs.container import bucket_size
+        h_max = bucket_size(h_max)
 
     send_idx = np.zeros((num_shards, num_shards, h_max), np.int32)
     halo_counts = np.zeros((num_shards, num_shards), np.int64)
@@ -266,7 +346,8 @@ def partitioned_spmm(plan: EdgePartitionPlan, x: jnp.ndarray,
 
 def partitioned_attention(plan: EdgePartitionPlan, q: jnp.ndarray,
                           k: jnp.ndarray, v: jnp.ndarray, mesh: Mesh,
-                          score_fn=None, axis: str = "edge"
+                          score_fn=None, axis: str = "edge",
+                          node_scores=None, score_transform=None
                           ) -> jnp.ndarray:
     """Edge-softmax attention over the partition (the distributed GAT
     path).  Because edges are owned by their *receiver's* chip, every
@@ -276,11 +357,20 @@ def partitioned_attention(plan: EdgePartitionPlan, q: jnp.ndarray,
 
     q, k: [N, H, d] row-sharded; v: [N, H, dv] row-sharded.
     score_fn(q_e, k_e) -> [E_loc, H]; defaults to scaled dot product.
+
+    node_scores: optional (s_dst [N, H], s_src [N, H]) for scores that
+    decompose per endpoint (GAT additive attention) — then q/k are
+    ignored, only the [*, H] score *scalars* ride the halo exchange
+    alongside v, and alpha = score_transform(s_dst[i] + s_src[j]).
     """
     pn = plan.num_shards
     n_loc = plan.n_local
-    H, dh = q.shape[1], q.shape[2]
+    H = v.shape[1]
     dv = v.shape[-1]
+    if node_scores is not None:
+        return _partitioned_attention_nodescores(
+            plan, node_scores, score_transform, v, mesh, axis)
+    dh = q.shape[2]
     if score_fn is None:
         def score_fn(q_e, k_e):
             return jnp.sum(q_e * k_e, axis=-1) / jnp.sqrt(
@@ -327,6 +417,63 @@ def partitioned_attention(plan: EdgePartitionPlan, q: jnp.ndarray,
         out_specs=P(axis))
     return sharded(q, k, v, plan.senders_ext, plan.receivers_loc,
                    plan.edge_weight, plan.send_idx)
+
+
+def _partitioned_attention_nodescores(plan: EdgePartitionPlan,
+                                      node_scores, score_transform,
+                                      v: jnp.ndarray, mesh: Mesh,
+                                      axis: str) -> jnp.ndarray:
+    """Additive-attention fast path: the per-edge score is
+    s_dst[receiver] + s_src[sender], so only [*, H] scalars (s_src) and
+    the values cross chips — the [E, H, d] query/key vector gathers of
+    the generic path vanish (same trick as the single-chip
+    packed_attention node_scores path)."""
+    pn = plan.num_shards
+    n_loc = plan.n_local
+    s_dst, s_src = node_scores
+    H = v.shape[1]
+    dv = v.shape[-1]
+
+    def local_fn(sd_loc, ss_loc, v_loc, senders_ext, receivers_loc, w,
+                 send_idx):
+        sd_loc = sd_loc.reshape(n_loc, H)
+        ss_loc = ss_loc.reshape(n_loc, H)
+        v_loc = v_loc.reshape(n_loc, H, dv)
+        send_idx = send_idx.reshape(pn, -1)
+        senders_ext = senders_ext.reshape(-1)
+        receivers_loc = receivers_loc.reshape(-1)
+        w = w.reshape(-1)
+
+        def exchange(t):
+            buf = jnp.take(t, send_idx.reshape(-1), axis=0).reshape(
+                (pn, send_idx.shape[1]) + t.shape[1:])
+            halo = jax.lax.all_to_all(buf, axis, split_axis=0,
+                                      concat_axis=0, tiled=False)
+            return jnp.concatenate(
+                [t, halo.reshape((-1,) + t.shape[1:])])
+
+        ss_ext = exchange(ss_loc)
+        v_ext = exchange(v_loc)
+        alpha = jnp.take(sd_loc, receivers_loc, axis=0) \
+            + jnp.take(ss_ext, senders_ext, axis=0)          # [E, H]
+        if score_transform is not None:
+            alpha = score_transform(alpha)
+        valid = (w != 0)[:, None] & jnp.ones_like(alpha, bool)
+        alpha = S.segment_softmax(alpha, receivers_loc, n_loc,
+                                  mask=valid)
+        msg = jnp.take(v_ext, senders_ext, axis=0) * alpha[..., None]
+        return S.segment_sum(msg, receivers_loc, n_loc)
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    sharded = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis),) * 7, out_specs=P(axis))
+    return sharded(s_dst, s_src, v, plan.senders_ext,
+                   plan.receivers_loc, plan.edge_weight, plan.send_idx)
 
 
 def halo_stats(plan: EdgePartitionPlan) -> dict:

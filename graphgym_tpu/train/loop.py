@@ -154,6 +154,35 @@ class Trainer:
         example = loaders[0].batches(0)[0]
         self.state = init_state(model, init_rng, example, self.optimizer)
         cfg.params = count_params(self.state.params)
+        # -------- multi-chip: build the mesh and shard state + batches
+        # (cfg.tpu.mesh_shape, e.g. [8] or [4, 2]; axis 0 partitions the
+        # graph, axis 1 is tensor parallelism — parallel/mesh.py).
+        self.mesh = None
+        self._shard_cache: Dict[int, Tuple[Any, Any]] = {}
+        if cfg.tpu.mesh_shape:
+            from graphgym_tpu.parallel.mesh import (make_mesh,
+                                                    shard_params)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.mesh = make_mesh(tuple(cfg.tpu.mesh_shape),
+                                  tuple(cfg.tpu.mesh_axes))
+            rep = NamedSharding(self.mesh, PartitionSpec())
+
+            def replicate(x):
+                return jax.device_put(x, rep) if hasattr(x, "ndim") \
+                    else x
+
+            sharded_params = shard_params(self.state.params, self.mesh)
+            self.state = TrainState(
+                params=sharded_params,
+                batch_stats=jax.tree_util.tree_map(
+                    replicate, self.state.batch_stats),
+                # re-init on the sharded params: the Adam moments
+                # inherit the kernels' column shardings
+                opt_state=self.optimizer.init(sharded_params),
+                step=replicate(self.state.step))
+            logging.info("multi-chip mesh %s, partition=%s",
+                         dict(self.mesh.shape), cfg.tpu.partition)
         dtype_name = cfg.tpu.get("dtype", "float32")
         compute_dtype = (None if dtype_name in ("float32", "f32", "")
                          else jnp.dtype(dtype_name))
@@ -163,13 +192,38 @@ class Trainer:
         self.eval_step = make_eval_step(model, self.loss_opts,
                                         compute_dtype=compute_dtype)
 
+    # ------------------------------------------------------- multi-chip
+    def _place(self, batch):
+        """Shard a batch onto the mesh (memoized per loader-cached
+        batch object so static loaders transfer once)."""
+        if self.mesh is None:
+            return batch
+        key = id(batch)
+        hit = self._shard_cache.get(key)
+        if hit is not None and hit[0] is batch:
+            return hit[1]
+        from graphgym_tpu.parallel.mesh import shard_batch
+
+        placed = shard_batch(batch, self.mesh,
+                             layout=self.cfg.tpu.partition)
+        if len(self._shard_cache) > 64:   # resampling loaders: bound it
+            self._shard_cache.clear()
+        self._shard_cache[key] = (batch, placed)
+        return placed
+
+    def _use_mesh(self):
+        from graphgym_tpu.parallel.context import use_mesh
+
+        return use_mesh(self.mesh)
+
     # ------------------------------------------------------------ epochs
     def train_epoch(self, logger: Logger, epoch: int):
         t0 = time.time()
         for batch in self.loaders[0].batches(epoch):
             self.rng, step_rng = jax.random.split(self.rng)
-            self.state, loss, score, label, mask = self.train_step(
-                self.state, batch, step_rng)
+            with self._use_mesh():
+                self.state, loss, score, label, mask = self.train_step(
+                    self.state, self._place(batch), step_rng)
             label_h, score_h = _to_host(score, label, mask)
             logger.update_stats(
                 true=label_h, pred=score_h, loss=float(loss),
@@ -185,7 +239,9 @@ class Trainer:
         t0 = time.time()
         regression = self.task_type == "regression"
         for batch in self.loaders[split].batches(0):
-            loss, score, label, mask = self.eval_step(self.state, batch)
+            with self._use_mesh():
+                loss, score, label, mask = self.eval_step(
+                    self.state, self._place(batch))
             label_h, score_h = _to_host(score, label, mask)
             if regression:
                 accs.append(-float(np.mean(

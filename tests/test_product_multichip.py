@@ -1,0 +1,245 @@
+"""Multi-chip training through the PRODUCT path (cfg.tpu.mesh_shape →
+Trainer mesh → sharded state/batches → partitioned layer dispatch), on
+the 8-device virtual CPU mesh.
+
+This is the round-2 integration mandated by BASELINE.json's north star:
+`python -m graphgym_tpu.main --cfg ... tpu.mesh_shape [8]` must train —
+distributed execution as product behavior, not library/test code.
+The reference has no distributed story (SURVEY.md §2 parallelism
+table); numerics are validated against our own single-device path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from graphgym_tpu.config import assert_cfg, get_cfg
+from graphgym_tpu.train.logger import Logger
+
+
+def make_cfg(mesh_shape, partition, layer_type="gcnconv",
+             max_epoch=3):
+    cfg = get_cfg()
+    cfg.merge_from_dict({
+        "dataset": {"format": "nx", "name": "ws", "task": "node",
+                    "transductive": False, "split": [0.8, 0.2],
+                    "augment_label": "node_clustering_coefficient",
+                    "augment_label_dims": 4},
+        "gnn": {"layers_mp": 2, "dim_inner": 32, "layers_pre_mp": 1,
+                "layers_post_mp": 1, "layer_type": layer_type,
+                "dropout": 0.0},
+        "train": {"batch_size": 16},
+        "optim": {"max_epoch": max_epoch, "scheduler": "none"},
+        "tpu": {"mesh_shape": mesh_shape, "partition": partition}})
+    assert_cfg(cfg)
+    return cfg
+
+
+def build_trainer(cfg, n_graphs=8):
+    from graphgym_tpu.data.loaders import create_dataset, create_loader
+    from graphgym_tpu.nn.model import build_model
+    from graphgym_tpu.train.loop import Trainer
+
+    splits = create_dataset(cfg)
+    splits = [part[:n_graphs] for part in splits]
+    loaders = create_loader(splits, cfg)
+    model = build_model(cfg)
+    return Trainer(model, loaders, cfg, rng=jax.random.PRNGKey(0))
+
+
+def epoch_losses(trainer, epochs):
+    out = []
+    for ep in range(epochs):
+        lg = Logger("train", task_type="classification_multi")
+        trainer.train_epoch(lg, ep)
+        out.append(lg._loss / max(lg._size_current, 1))
+    return out
+
+
+class TestTrainerMesh:
+    def test_trainer_builds_mesh_and_shards_state(self):
+        cfg = make_cfg([8], "node")
+        tr = build_trainer(cfg)
+        assert tr.mesh is not None
+        assert dict(tr.mesh.shape) == {"edge": 8}
+        # kernels replicated on a 1-D mesh (no feature axis), but
+        # placed on all 8 devices
+        leaf = jax.tree_util.tree_leaves(tr.state.params)[0]
+        assert len(leaf.sharding.device_set) == 8
+
+    def test_2d_mesh_feature_sharding(self):
+        cfg = make_cfg([4, 2], "replicated")
+        tr = build_trainer(cfg)
+        assert dict(tr.mesh.shape) == {"edge": 4, "feature": 2}
+        # at least one kernel should be column-sharded over 'feature'
+        from jax.sharding import PartitionSpec as P
+        flat = jax.tree_util.tree_flatten_with_path(tr.state.params)[0]
+        specs = [leaf.sharding.spec for path, leaf in flat
+                 if "kernel" in "/".join(str(p) for p in path)
+                 and leaf.ndim == 2]
+        assert P(None, "feature") in specs
+
+    @pytest.mark.parametrize("partition", ["replicated", "node"])
+    def test_mesh_forward_matches_single_device(self, partition):
+        """Eval-mode forward through the mesh path must match the
+        single-device path tightly (same init params; eval mode avoids
+        train-BatchNorm's chaotic amplification of fp reassociation)."""
+        single = build_trainer(make_cfg([], "replicated"))
+        multi = build_trainer(make_cfg([8], partition))
+        b_s = single.loaders[0].batches(0)[0]
+        b_m = multi.loaders[0].batches(0)[0]
+        vs = {"params": single.state.params,
+              "batch_stats": single.state.batch_stats}
+        pred_s, _, m_s = single.model.apply(vs, b_s, False)
+        with multi._use_mesh():
+            pred_m, _, m_m = jax.jit(
+                lambda v, bb: multi.model.apply(v, bb, False))(
+                    vs, multi._place(b_m))
+        # node layout permutes rows; compare the sorted supervised set
+        ps = np.sort(np.asarray(pred_s)[np.asarray(m_s)], axis=0)
+        pm = np.sort(np.asarray(pred_m)[np.asarray(m_m)], axis=0)
+        np.testing.assert_allclose(pm, ps, atol=1e-4)
+
+    @pytest.mark.parametrize("partition", ["replicated", "node"])
+    def test_mesh_training_tracks_single_device(self, partition):
+        """Training through the mesh decreases the loss along the same
+        trajectory (loose: train-mode BatchNorm chaotically amplifies
+        reassociation-level differences ~200x per layer)."""
+        single = build_trainer(make_cfg([], "replicated"))
+        multi = build_trainer(make_cfg([8], partition))
+        l_single = epoch_losses(single, 3)
+        l_multi = epoch_losses(multi, 3)
+        assert l_multi[-1] < l_multi[0]
+        np.testing.assert_allclose(l_multi, l_single, atol=0.05)
+
+    def test_node_partition_attaches_plans(self):
+        cfg = make_cfg([8], "node")
+        tr = build_trainer(cfg)
+        batch = tr.loaders[0].batches(0)[0]
+        assert batch.plans is not None and "gcn" in batch.plans
+        plan = batch.plans["gcn"]
+        assert plan.num_shards == 8
+        assert plan.n_local * 8 == batch.num_nodes
+
+    def test_node_partition_gat_uses_att_plan(self):
+        single = build_trainer(make_cfg([], "replicated",
+                                        layer_type="gatconv"))
+        multi = build_trainer(make_cfg([8], "node",
+                                       layer_type="gatconv"))
+        batch = multi.loaders[0].batches(0)[0]
+        assert batch.plans is not None and "att" in batch.plans
+        # eval-mode forward equality (tight) through the partitioned
+        # node-scores attention path
+        b_s = single.loaders[0].batches(0)[0]
+        vs = {"params": single.state.params,
+              "batch_stats": single.state.batch_stats}
+        pred_s, _, m_s = single.model.apply(vs, b_s, False)
+        with multi._use_mesh():
+            pred_m, _, m_m = jax.jit(
+                lambda v, bb: multi.model.apply(v, bb, False))(
+                    vs, multi._place(batch))
+        ps = np.sort(np.asarray(pred_s)[np.asarray(m_s)], axis=0)
+        pm = np.sort(np.asarray(pred_m)[np.asarray(m_m)], axis=0)
+        np.testing.assert_allclose(pm, ps, atol=1e-4)
+        # and training still learns
+        l_multi = epoch_losses(multi, 3)
+        assert l_multi[-1] < l_multi[0]
+
+    def test_eval_matches_across_layouts(self):
+        single = build_trainer(make_cfg([], "replicated"))
+        multi = build_trainer(make_cfg([8], "node"))
+        epoch_losses(single, 1)
+        epoch_losses(multi, 1)
+        # same trained state (up to reassociation) -> same eval loss
+        b_s = single.loaders[1].batches(0)[0]
+        b_m = multi.loaders[1].batches(0)[0]
+        loss_s, *_ = single.eval_step(single.state, b_s)
+        with multi._use_mesh():
+            loss_m, *_ = multi.eval_step(multi.state,
+                                         multi._place(b_m))
+        np.testing.assert_allclose(float(loss_m), float(loss_s),
+                                   atol=0.05)
+
+
+class TestPermutation:
+    def test_balanced_partition_order_invariants(self):
+        from graphgym_tpu.parallel.partition import \
+            balanced_partition_order
+
+        rng = np.random.default_rng(0)
+        num_real, num_nodes, pn = 53, 64, 8
+        e = 200
+        s = rng.integers(0, num_real, e)
+        r = rng.integers(0, num_real, e)
+        w = np.ones(e, np.float32)
+        perm = balanced_partition_order(s, r, w, num_real, num_nodes, pn)
+        # a permutation
+        assert sorted(perm) == list(range(num_nodes))
+        # global padding node stays last
+        assert perm[num_nodes - 1] == num_nodes - 1
+        # real nodes spread evenly: every shard gets <= ceil(53/8)=7
+        shard_of_real = perm[:num_real] // (num_nodes // pn)
+        counts = np.bincount(shard_of_real, minlength=pn)
+        assert counts.max() <= 7 and counts.min() >= 4, counts
+
+    def test_permute_nodes_preserves_spmm(self):
+        from graphgym_tpu.graphs.container import (build_graph_batch,
+                                                   permute_nodes)
+        from graphgym_tpu.ops import sparse as sp
+
+        rng = np.random.default_rng(1)
+        n, e = 24, 80
+        s = rng.integers(0, n, e)
+        r = rng.integers(0, n, e)
+        x = rng.normal(size=(n, 5)).astype(np.float32)
+        batch = build_graph_batch(s, r, x, pad_nodes_to=32,
+                                  pad_edges_to=96,
+                                  node_label=rng.integers(0, 3, n),
+                                  node_label_index=np.arange(n))
+        perm = np.concatenate([rng.permutation(n),
+                               np.arange(n, 32)])
+        pb = permute_nodes(batch, perm)
+        out = sp.spmm(batch.senders, batch.receivers,
+                      batch.edge_weight, batch.node_feat, 32)
+        pout = sp.spmm(pb.senders, pb.receivers, pb.edge_weight,
+                       pb.node_feat, 32)
+        # row i of the original output lands at row perm[i]
+        np.testing.assert_allclose(np.asarray(pout)[perm],
+                                   np.asarray(out), rtol=1e-5)
+        # labels moved with their nodes
+        np.testing.assert_array_equal(
+            np.asarray(pb.node_label)[perm], np.asarray(batch.node_label))
+        # gathers through the remapped index recover the same labels
+        np.testing.assert_array_equal(
+            np.asarray(pb.node_label)[np.asarray(pb.node_label_index)],
+            np.asarray(batch.node_label)[
+                np.asarray(batch.node_label_index)])
+
+
+class TestMainCLI:
+    def test_main_e2e_on_mesh(self, tmp_path):
+        """python -m graphgym_tpu.main with tpu.mesh_shape [8] trains
+        end-to-end (the VERDICT round-1 gap: multi-chip training must
+        be reachable from the product CLI)."""
+        import yaml
+
+        from graphgym_tpu import main as gmain
+
+        cfg_file = tmp_path / "mesh.yaml"
+        cfg_file.write_text(yaml.safe_dump({
+            "out_dir": str(tmp_path / "results"),
+            "dataset": {"format": "nx", "name": "ws", "task": "node",
+                        "transductive": False, "split": [0.8, 0.2],
+                        "augment_label":
+                            "node_clustering_coefficient",
+                        "augment_label_dims": 4},
+            "gnn": {"layers_mp": 2, "dim_inner": 16,
+                    "layers_pre_mp": 1, "layers_post_mp": 1,
+                    "layer_type": "gcnconv"},
+            "train": {"batch_size": 256, "eval_period": 2},
+            "optim": {"max_epoch": 2, "scheduler": "none"},
+            "tpu": {"mesh_shape": [8], "partition": "node"}}))
+        results = gmain.main(["--cfg", str(cfg_file), "--repeat", "1"])
+        assert len(results) == 1
+        assert np.isfinite(results[0]["best_val_acc"])
