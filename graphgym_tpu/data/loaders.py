@@ -406,15 +406,11 @@ def load_dataset(cfg) -> List[HostGraph]:
             graphs = tu_simple_filter(graphs)
         return graphs
     if fmt == "OGB":
-        try:
-            import ogb  # noqa: F401
-        except ImportError as exc:
-            raise ImportError(
-                "OGB datasets need the `ogb` package (not installed "
-                "in this image); download the raw data and use the "
-                "TU/nx formats instead") from exc
-        raise NotImplementedError(
-            "OGB loading requires network access for download")
+        # native raw-directory parser + official split injection — no
+        # `ogb` package / network needed (reference loader_pyg.py:84-138,
+        # loader.py:118-124)
+        from graphgym_tpu.data.ogb import load_ogb
+        return load_ogb(name, cfg.dataset.dir)
     if fmt == "syn":
         from graphgym_tpu.data.synthetic import generate_syn_graphs
         return generate_syn_graphs(name, seed=cfg.seed)
@@ -431,6 +427,12 @@ def split_dataset(graphs: List[HostGraph], cfg,
     (node_label_index / edge supervision) are partitioned by ratio.
     Inductive: the list of graphs is partitioned.
     """
+    from graphgym_tpu.data.ogb import has_ogb_split, ogb_split_dataset
+    if has_ogb_split(graphs):
+        # official OGB split indices override the random ratio split
+        # (reference loader_pyg.py:84-138, loader.py:118-124)
+        return ogb_split_dataset(graphs, cfg, rng)
+
     ratios = list(cfg.dataset.split)
     if cfg.dataset.task == "graph":
         transductive = False

@@ -54,14 +54,30 @@ def neighbor_sample(g: HostGraph, batch_nodes: np.ndarray,
     frontier = np.asarray(batch_nodes)
     all_nodes = [frontier]
     for size in sizes:
-        nxt = []
-        for u in frontier:
-            nbrs = indices[indptr[u]:indptr[u + 1]]
-            if len(nbrs) > size:
-                nbrs = rng.choice(nbrs, size=size, replace=False)
-            nxt.append(nbrs)
-        frontier = np.unique(np.concatenate(nxt)) if nxt else \
-            np.array([], np.int64)
+        # vectorized per-node sampling without replacement: expand all
+        # frontier neighbors, give each a random key, keep each node's
+        # `size` smallest keys (rank-within-segment < size)
+        cur = frontier.astype(np.int64)
+        counts = (indptr[cur + 1] - indptr[cur]).astype(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            frontier = np.array([], np.int64)
+            all_nodes.append(frontier)
+            continue
+        starts = indptr[cur]
+        seg = np.repeat(np.arange(len(cur)), counts)
+        run = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        nbrs = indices[np.repeat(starts, counts) + run]
+        keys = rng.random(total)
+        order = np.lexsort((keys, seg))
+        # after the (segment, key) sort, rank-within-segment is the
+        # position minus the segment start; rank < size keeps at most
+        # `size` random neighbors per node
+        rank = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        keep = order[rank < size]
+        frontier = np.unique(nbrs[keep])
         all_nodes.append(frontier)
     nodes = np.unique(np.concatenate(all_nodes))
     sub = induced_subgraph(g, nodes)

@@ -23,31 +23,54 @@ def degrees(g: HostGraph) -> np.ndarray:
     return d
 
 
+def _expand(indptr: np.ndarray, indices: np.ndarray,
+            src: np.ndarray, cur: np.ndarray):
+    """Vectorized CSR frontier expansion: for frontier pairs
+    (src[k], cur[k]) return (src repeated per neighbor, all neighbors) —
+    no per-node Python loop."""
+    counts = (indptr[cur + 1] - indptr[cur]).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return (np.zeros(0, src.dtype), np.zeros(0, indices.dtype))
+    starts = indptr[cur]
+    run_off = np.arange(total) - np.repeat(
+        np.cumsum(counts) - counts, counts)
+    flat = np.repeat(starts, counts) + run_off
+    return np.repeat(src, counts), indices[flat]
+
+
 def clustering_coefficient(g: HostGraph) -> np.ndarray:
     """nx.clustering equivalent for undirected simple graphs:
     c_i = 2 T_i / (d_i (d_i - 1)), T_i = triangles through i.
 
-    Triangle counting via neighbor-set intersection on sorted CSR rows.
-    """
+    Vectorized wedge counting: every directed wedge (i->j->k) is a
+    candidate; membership (i,k) in E is tested with searchsorted on the
+    sorted edge-key array.  Chunked over wedges to bound memory."""
     n = g.num_nodes
     indptr, indices = g.csr()
-    # sort each row for intersection
-    rows = [np.sort(indices[indptr[i]:indptr[i + 1]]) for i in range(n)]
-    deg = np.array([len(r) for r in rows])
+    deg = (indptr[1:] - indptr[:-1]).astype(np.int64)
+    s, r = g.senders.astype(np.int64), g.receivers.astype(np.int64)
+    keys = np.sort(s * n + r)
     tri = np.zeros(n, np.int64)
-    for i in range(n):
-        nb = rows[i]
-        nb = nb[nb != i]
-        for j in nb:
-            if j > i:
-                # common neighbors of i and j
-                c = np.intersect1d(rows[i], rows[int(j)],
-                                   assume_unique=False)
-                c = c[(c != i) & (c != j)]
-                tri[i] += len(c)
-                tri[int(j)] += len(c)
-    # tri[i] accumulates 2 per triangle through i (once via each of the
-    # two adjacent pairs containing i), so tri == 2 * T_i already.
+    # wedges grouped by center j: pairs (i, k) with i,k in N(j);
+    # enumerate per edge (j -> k): candidates i = N(j)
+    edge_chunk = max(1, int(2e7 // max(int(deg.mean()) + 1, 1)))
+    for lo in range(0, g.num_edges, edge_chunk):
+        js = s[lo:lo + edge_chunk]
+        ks = r[lo:lo + edge_chunk]
+        eid = np.arange(len(js))
+        wedge_e, wedge_i = _expand(indptr, indices, eid, js)
+        wedge_k = ks[wedge_e]
+        ii = wedge_i.astype(np.int64)
+        valid = (ii != wedge_k) & (ii != js[wedge_e])
+        ii, kk = ii[valid], wedge_k[valid]
+        wk = ii * n + kk
+        pos = np.searchsorted(keys, wk)
+        pos = np.minimum(pos, len(keys) - 1)
+        closed = keys[pos] == wk if len(keys) else np.zeros(0, bool)
+        # each closed wedge (i-j-k) contributes to the center j
+        np.add.at(tri, js[wedge_e][valid][closed], 1)
+    # each triangle through j appears as 2 directed closed wedges
     denom = deg * (deg - 1)
     out = np.zeros(n, np.float64)
     nz = denom > 0
@@ -55,30 +78,43 @@ def clustering_coefficient(g: HostGraph) -> np.ndarray:
     return out
 
 
-def bfs_all_pairs(g: HostGraph, max_dist: int | None = None) -> np.ndarray:
-    """All-pairs hop distances via frontier BFS with a dense [N, N]
-    boolean reachability matrix; dist = -1 if unreachable.  O(diam * E)
-    with vectorized frontier expansion."""
+def bfs_from_sources(g: HostGraph, sources: np.ndarray,
+                     max_dist: int | None = None) -> np.ndarray:
+    """Hop distances from each source: [S, N] int32, -1 unreachable.
+    Frontier BFS with fully-vectorized CSR expansion (no per-node
+    Python loop) — the sparse-frontier replacement for the old dense
+    all-pairs matrix when only S << N sources are needed."""
     n = g.num_nodes
+    sources = np.asarray(sources, np.int64)
+    s_count = len(sources)
     indptr, indices = g.csr()
-    dist = np.full((n, n), -1, np.int32)
-    np.fill_diagonal(dist, 0)
-    reached = np.eye(n, dtype=bool)
-    frontier = np.eye(n, dtype=bool)
+    dist = np.full((s_count, n), -1, np.int32)
+    dist[np.arange(s_count), sources] = 0
+    src = np.arange(s_count, dtype=np.int64)
+    cur = sources.copy()
     d = 0
     limit = max_dist if max_dist is not None else n
-    while frontier.any() and d < limit:
+    while len(cur) and d < limit:
         d += 1
-        # expand: next[i, v] = any_{u in frontier[i]} v in N(u)
-        nxt = np.zeros((n, n), bool)
-        src, cur = np.nonzero(frontier)
-        for i, u in zip(src, cur):
-            nxt[i, indices[indptr[u]:indptr[u + 1]]] = True
-        nxt &= ~reached
-        dist[nxt] = d
-        reached |= nxt
-        frontier = nxt
+        ns, nv = _expand(indptr, indices, src, cur)
+        if not len(ns):
+            break
+        fresh = dist[ns, nv] < 0
+        ns, nv = ns[fresh], nv[fresh]
+        # dedupe (source, node) pairs discovered twice this level
+        key = ns * n + nv
+        _, first = np.unique(key, return_index=True)
+        ns, nv = ns[first], nv[first]
+        dist[ns, nv] = d
+        src, cur = ns, nv
     return dist
+
+
+def bfs_all_pairs(g: HostGraph, max_dist: int | None = None) -> np.ndarray:
+    """All-pairs hop distances [N, N]; kept for small graphs (ego
+    extraction fallbacks).  Large-graph consumers use bfs_from_sources
+    on the rows they need instead of materializing N^2."""
+    return bfs_from_sources(g, np.arange(g.num_nodes), max_dist)
 
 
 def ego_radius_nodes(g: HostGraph, radius: int):
@@ -90,25 +126,37 @@ def ego_radius_nodes(g: HostGraph, radius: int):
     return [np.nonzero(within[i])[0] for i in range(g.num_nodes)]
 
 
-def avg_shortest_path_len(g: HostGraph) -> np.ndarray:
+def avg_shortest_path_len(g: HostGraph,
+                          chunk: int = 2048) -> np.ndarray:
     """Per-node mean shortest-path length over reachable nodes
     (reference path_len_fun, feature_augment.py:60-63; includes the
-    0-distance to self, matching nx.shortest_path_length dict)."""
-    dist = bfs_all_pairs(g)
-    out = np.zeros(g.num_nodes, np.float64)
-    for i in range(g.num_nodes):
-        reach = dist[i] >= 0
-        out[i] = dist[i][reach].mean() if reach.any() else 0.0
+    0-distance to self, matching nx.shortest_path_length dict).
+    Chunked over sources so memory stays O(chunk * N)."""
+    n = g.num_nodes
+    out = np.zeros(n, np.float64)
+    for lo in range(0, n, chunk):
+        srcs = np.arange(lo, min(lo + chunk, n))
+        dist = bfs_from_sources(g, srcs)
+        reach = dist >= 0
+        cnt = reach.sum(1)
+        tot = np.where(reach, dist, 0).sum(1)
+        out[srcs] = np.where(cnt > 0, tot / np.maximum(cnt, 1), 0.0)
     return out
 
 
-def graph_avg_path_len(g: HostGraph) -> float:
+def graph_avg_path_len(g: HostGraph, chunk: int = 2048) -> float:
     """nx.average_shortest_path_length: mean over ordered pairs u != v
     (assumes connected)."""
-    dist = bfs_all_pairs(g)
     n = g.num_nodes
-    mask = (dist >= 0) & ~np.eye(n, dtype=bool)
-    return float(dist[mask].mean()) if mask.any() else 0.0
+    tot = 0.0
+    cnt = 0
+    for lo in range(0, n, chunk):
+        srcs = np.arange(lo, min(lo + chunk, n))
+        dist = bfs_from_sources(g, srcs)
+        reach = dist > 0
+        tot += float(np.where(reach, dist, 0).sum())
+        cnt += int(reach.sum())
+    return tot / cnt if cnt else 0.0
 
 
 def pagerank(g: HostGraph, alpha: float = 0.85, tol: float = 1e-6,
@@ -137,8 +185,14 @@ def betweenness_centrality(g: HostGraph, normalized: bool = True
                            ) -> np.ndarray:
     """Brandes' algorithm (unweighted), matching
     nx.betweenness_centrality's normalization 2/((n-1)(n-2)) for
-    undirected graphs."""
+    undirected graphs.  Large graphs route through the multi-threaded
+    C++ implementation (native/graph_native.cpp betweenness)."""
     n = g.num_nodes
+    if normalized and n > 256:
+        from graphgym_tpu import native
+        out = native.betweenness_centrality(g.senders, g.receivers, n)
+        if out is not None:
+            return out
     indptr, indices = g.csr()
     bc = np.zeros(n, np.float64)
     for s0 in range(n):
@@ -185,22 +239,24 @@ def laplacian_spectrum(g: HostGraph) -> np.ndarray:
 
 
 def connected_components(g: HostGraph) -> np.ndarray:
-    """Component id per node (label propagation over BFS)."""
+    """Component id per node — vectorized min-label propagation
+    (pointer-jumping style: each round halves-or-better the label
+    diameter, all rounds are whole-array numpy ops)."""
     n = g.num_nodes
-    indptr, indices = g.csr()
-    comp = np.full(n, -1, np.int64)
-    c = 0
-    for s0 in range(n):
-        if comp[s0] >= 0:
-            continue
-        stack = [s0]
-        comp[s0] = c
-        while stack:
-            u = stack.pop()
-            for v in indices[indptr[u]:indptr[u + 1]]:
-                v = int(v)
-                if comp[v] < 0:
-                    comp[v] = c
-                    stack.append(v)
-        c += 1
-    return comp
+    s, r = g.senders.astype(np.int64), g.receivers.astype(np.int64)
+    comp = np.arange(n, dtype=np.int64)
+    while True:
+        nxt = comp.copy()
+        np.minimum.at(nxt, r, comp[s])
+        np.minimum.at(nxt, s, comp[r])
+        # pointer jumping: follow labels to their current root
+        nxt = nxt[nxt]
+        if np.array_equal(nxt, comp):
+            break
+        comp = nxt
+    # densify ids to 0..k-1 in first-seen order (matches BFS ordering
+    # of the old implementation for deterministic splits)
+    _, first_pos, inv = np.unique(comp, return_index=True,
+                                  return_inverse=True)
+    order = np.argsort(np.argsort(first_pos))
+    return order[inv]

@@ -156,8 +156,11 @@ def path_len_labels(g: HostGraph, num_label: int = 1000,
     rng = rng or np.random.default_rng()
     n = g.num_nodes
     pairs = rng.integers(0, n, size=(2, num_label))
-    dist = st.bfs_all_pairs(g)
-    d = dist[pairs[0], pairs[1]]
+    # sparse-frontier BFS from the sampled sources only — O(S * E), not
+    # the dense [N, N] all-pairs matrix
+    srcs, inv = np.unique(pairs[0], return_inverse=True)
+    dist = st.bfs_from_sources(g, srcs, max_dist=None)
+    d = dist[inv, pairs[1]]
     keep = d >= 0
     g["edge_label_index"] = pairs[:, keep].astype(np.int32)
     g["edge_label"] = np.minimum(d[keep], 4).astype(np.int64)
@@ -170,23 +173,44 @@ def negative_sampling(edge_index: np.ndarray, num_nodes: int,
     """Sample non-edges (reference transform.py:101-110 via PyG
     negative_sampling): rejection sampling against the existing edge set."""
     rng = rng or np.random.default_rng()
-    existing = set(map(tuple, edge_index.T.tolist()))
-    out = []
-    trials = 0
-    max_trials = num_samples * 20 + 100
-    while len(out) < num_samples and trials < max_trials:
-        u = int(rng.integers(0, num_nodes))
-        v = int(rng.integers(0, num_nodes))
-        trials += 1
-        if u != v and (u, v) not in existing:
-            existing.add((u, v))
-            out.append((u, v))
+    n = np.int64(num_nodes)
+    edge_keys = np.sort(edge_index[0].astype(np.int64) * n
+                        + edge_index[1].astype(np.int64))
+
+    def is_edge(keys):
+        if not len(edge_keys):
+            return np.zeros(len(keys), bool)
+        pos = np.minimum(np.searchsorted(edge_keys, keys),
+                         len(edge_keys) - 1)
+        return edge_keys[pos] == keys
+
+    # vectorized rejection sampling: draw batches, drop self-loops,
+    # existing edges and duplicates (sorted-key membership instead of a
+    # python set — no per-candidate loop)
+    out = np.zeros(0, np.int64)
+    rounds = 0
+    while len(out) < num_samples and rounds < 20:
+        rounds += 1
+        m = max(256, 2 * (num_samples - len(out)))
+        u = rng.integers(0, num_nodes, size=m).astype(np.int64)
+        v = rng.integers(0, num_nodes, size=m).astype(np.int64)
+        keys = u * n + v
+        ok = (u != v) & ~is_edge(keys)
+        keys = keys[ok]
+        # dedupe within batch and against accepted, preserving draw order
+        _, first = np.unique(keys, return_index=True)
+        keys = keys[np.sort(first)]
+        if len(out):
+            keys = keys[~np.isin(keys, out)]
+        out = np.concatenate([out, keys])[:num_samples]
     # dense graphs can exhaust rejection sampling; keep the count static
     # (callers rely on fixed shapes) by filling with random non-self
     # pairs even if they collide with edges
     while len(out) < num_samples:
-        u = int(rng.integers(0, num_nodes))
-        v = int(rng.integers(0, num_nodes))
-        if u != v:
-            out.append((u, v))
-    return np.array(out, np.int32).reshape(-1, 2).T
+        m = num_samples - len(out)
+        u = rng.integers(0, num_nodes, size=m).astype(np.int64)
+        v = rng.integers(0, num_nodes, size=m).astype(np.int64)
+        keys = (u * n + v)[u != v]
+        out = np.concatenate([out, keys])[:num_samples]
+    pairs = np.stack([out // n, out % n]).astype(np.int32)
+    return pairs

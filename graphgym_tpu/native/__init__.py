@@ -42,7 +42,7 @@ def load() -> Optional[ctypes.CDLL]:
             try:
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-std=c++17", _SRC, "-o", so],
+                     "-std=c++17", "-pthread", _SRC, "-o", so],
                     check=True, capture_output=True, timeout=120)
             except Exception as exc:  # no toolchain -> numpy fallback
                 logging.info("native build unavailable (%s); using "
@@ -61,11 +61,12 @@ def load() -> Optional[ctypes.CDLL]:
                                   p_i64]
         lib.ego_fill.argtypes = [i64, i64, p_i64, p_i32, i64, p_i32,
                                  p_i32, p_i64]
-        lib.pack_csr_count.argtypes = [i64, i64, p_i32, i64, i64]
+        lib.pack_csr_count.argtypes = [i64, i64, p_i32, i64, i64, i64]
         lib.pack_csr_count.restype = i64
         lib.pack_csr_fill.argtypes = [i64, i64, p_i32, p_i32, p_f32,
-                                      i64, i64, i64, p_i32, p_f32,
+                                      i64, i64, i64, i64, p_i32, p_f32,
                                       p_i32, p_i32]
+        lib.betweenness.argtypes = [i64, p_i64, p_i32, i64, p_f64]
         _lib = lib
         return _lib
 
@@ -114,6 +115,22 @@ def clustering_coefficient(senders: np.ndarray, receivers: np.ndarray,
     return out
 
 
+def betweenness_centrality(senders: np.ndarray, receivers: np.ndarray,
+                           n: int) -> Optional[np.ndarray]:
+    """Multi-threaded Brandes betweenness (normalized, undirected);
+    None when the native lib is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    indptr, indices, _ = build_csr(np.asarray(senders, np.int32),
+                                   np.asarray(receivers, np.int32), n)
+    out = np.empty(n, np.float64)
+    threads = min(os.cpu_count() or 1, 8)
+    lib.betweenness(n, indptr, np.ascontiguousarray(indices, np.int32),
+                    threads, out)
+    return out
+
+
 def ego_union(senders: np.ndarray, receivers: np.ndarray, n: int,
               radius: int):
     """(union_senders, union_receivers, orig_of, num_union_nodes) — the
@@ -140,10 +157,12 @@ def ego_union(senders: np.ndarray, receivers: np.ndarray, n: int,
 
 
 def pack_csr_arrays(senders: np.ndarray, receivers: np.ndarray,
-                    weights: np.ndarray, num_nodes: int, R: int, C: int):
+                    weights: np.ndarray, num_nodes: int, R: int, C: int,
+                    G: int = 1):
     """Native version of ops.pallas.spmm_kernel.pack_csr's inner loops;
     returns (senders[NC,C], weights[NC,C], local[NC,C], tiles[NC]) or
-    None when the native lib is unavailable."""
+    None when the native lib is unavailable.  G > 1 row-aligns slot
+    groups for the kernel's VPU pre-reduction."""
     lib = load()
     if lib is None:
         return None
@@ -152,12 +171,12 @@ def pack_csr_arrays(senders: np.ndarray, receivers: np.ndarray,
     r_s = np.ascontiguousarray(receivers[order], np.int32)
     w_s = np.ascontiguousarray(weights[order], np.float32)
     e = len(s_s)
-    nc = int(lib.pack_csr_count(num_nodes, e, r_s, R, C))
+    nc = int(lib.pack_csr_count(num_nodes, e, r_s, R, C, G))
     out_s = np.empty((nc, C), np.int32)
     out_w = np.empty((nc, C), np.float32)
     out_l = np.empty((nc, C), np.int32)
     out_t = np.empty(nc, np.int32)
-    lib.pack_csr_fill(num_nodes, e, s_s, r_s, w_s, R, C, nc,
+    lib.pack_csr_fill(num_nodes, e, s_s, r_s, w_s, R, C, G, nc,
                       out_s.reshape(-1), out_w.reshape(-1),
                       out_l.reshape(-1), out_t)
     return out_s, out_w, out_l, out_t

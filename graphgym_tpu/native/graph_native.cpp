@@ -6,12 +6,16 @@
 // chunk packer feeding the Pallas SpMM kernel.  Exposed as a plain C ABI
 // consumed via ctypes (no pybind11 in the image).
 //
-// All functions are thread-free and allocation-free (callers provide
-// buffers) so they can be driven from Python without GIL games.
+// All functions except `betweenness` are thread-free and
+// allocation-free (callers provide buffers) so they can be driven from
+// Python without GIL games; betweenness threads over sources
+// internally.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -180,15 +184,28 @@ void ego_fill(int64_t n, int64_t e, const int64_t* indptr,
 // into C-edge chunks, each owning one R-row tile.  Pass 1 returns the
 // chunk count; pass 2 fills the arrays.
 
+// G > 1 pads each receiver-row's slot span to a multiple of G so every
+// aligned G-group of slots belongs to one row — the kernel then
+// group-sums G slots on the VPU before the one-hot matmul, cutting the
+// MXU contraction depth by G.
+
 int64_t pack_csr_count(int64_t num_nodes, int64_t e,
                        const int32_t* receivers_sorted, int64_t R,
-                       int64_t C) {
+                       int64_t C, int64_t G) {
   int64_t num_tiles = (num_nodes + R - 1) / R;
-  std::vector<int64_t> tile_counts(num_tiles, 0);
-  for (int64_t i = 0; i < e; ++i) tile_counts[receivers_sorted[i] / R]++;
+  if (G < 1) G = 1;
+  std::vector<int64_t> tile_slots(num_tiles, 0);
+  int64_t i = 0;
+  while (i < e) {
+    int32_t r = receivers_sorted[i];
+    int64_t j = i;
+    while (j < e && receivers_sorted[j] == r) j++;
+    tile_slots[r / R] += ((j - i) + G - 1) / G * G;
+    i = j;
+  }
   int64_t nc = 0;
   for (int64_t t = 0; t < num_tiles; ++t) {
-    int64_t k = (tile_counts[t] + C - 1) / C;
+    int64_t k = (tile_slots[t] + C - 1) / C;
     nc += k > 0 ? k : 1;
   }
   return nc;
@@ -198,9 +215,11 @@ void pack_csr_fill(int64_t num_nodes, int64_t e,
                    const int32_t* senders_sorted,
                    const int32_t* receivers_sorted,
                    const float* weights_sorted, int64_t R, int64_t C,
-                   int64_t nc, int32_t* out_senders, float* out_weights,
-                   int32_t* out_local, int32_t* out_tiles) {
+                   int64_t G, int64_t nc, int32_t* out_senders,
+                   float* out_weights, int32_t* out_local,
+                   int32_t* out_tiles) {
   int64_t num_tiles = (num_nodes + R - 1) / R;
+  if (G < 1) G = 1;
   // init padding
   for (int64_t i = 0; i < nc * C; ++i) {
     out_senders[i] = (int32_t)num_nodes;
@@ -208,37 +227,113 @@ void pack_csr_fill(int64_t num_nodes, int64_t e,
     out_local[i] = 0;
   }
   int64_t epos = 0;
-  int64_t chunk = 0;
+  int64_t chunk_base = 0;  // first chunk of the current tile
+  std::vector<int64_t> order;
   for (int64_t t = 0; t < num_tiles; ++t) {
-    int64_t start = epos;
-    while (epos < e && receivers_sorted[epos] / R == t) epos++;
-    int64_t cnt = epos - start;
-    int64_t k = (cnt + C - 1) / C;
-    if (k == 0) k = 1;
-    for (int64_t ci = 0; ci < k; ++ci) {
-      out_tiles[chunk] = (int32_t)t;
-      int64_t a = start + ci * C;
-      int64_t b = std::min(a + C, start + cnt);
-      // slot order within a chunk is free (the one-hot matmul carries
-      // the row mapping) — sort by sender for gather locality
-      std::vector<int64_t> order(b - a);
-      for (int64_t j = 0; j < b - a; ++j) order[j] = a + j;
+    int64_t slot = 0;  // slot within this tile's chunk run
+    int64_t k = 0;     // chunks used by this tile
+    while (epos < e && receivers_sorted[epos] / R == t) {
+      int32_t r = receivers_sorted[epos];
+      int64_t row_start = epos;
+      while (epos < e && receivers_sorted[epos] == r) epos++;
+      int64_t cnt = epos - row_start;
+      // sort this row's edges by sender for gather locality (slot
+      // order within a row is free — same receiver)
+      order.resize(cnt);
+      for (int64_t j = 0; j < cnt; ++j) order[j] = row_start + j;
       std::sort(order.begin(), order.end(),
                 [&](int64_t x, int64_t y) {
                   return senders_sorted[x] < senders_sorted[y];
                 });
-      for (int64_t jj = 0; jj < b - a; ++jj) {
+      for (int64_t jj = 0; jj < cnt; ++jj) {
         int64_t j = order[jj];
-        int64_t slot = chunk * C + jj;
-        out_senders[slot] = senders_sorted[j];
-        out_weights[slot] = weights_sorted[j];
-        out_local[slot] = (int32_t)(receivers_sorted[j] - t * R);
+        int64_t pos = (chunk_base + slot / C) * C + slot % C;
+        out_senders[pos] = senders_sorted[j];
+        out_weights[pos] = weights_sorted[j];
+        out_local[pos] = (int32_t)(r - t * R);
+        slot++;
       }
-      chunk++;
+      // pad the row span to a multiple of G; padding slots keep the
+      // row's local index so their (zero-weight) group sum still
+      // targets a well-defined row
+      while (slot % G) {
+        int64_t pos = (chunk_base + slot / C) * C + slot % C;
+        out_local[pos] = (int32_t)(r - t * R);
+        slot++;
+      }
+      k = (slot + C - 1) / C;
     }
+    if (k == 0) k = 1;
+    for (int64_t ci = 0; ci < k; ++ci)
+      out_tiles[chunk_base + ci] = (int32_t)t;
+    chunk_base += k;
   }
   // any padding chunks (shouldn't happen; defensive)
-  for (; chunk < nc; ++chunk) out_tiles[chunk] = (int32_t)(num_tiles - 1);
+  for (; chunk_base < nc; ++chunk_base)
+    out_tiles[chunk_base] = (int32_t)(num_tiles - 1);
+}
+
+// Brandes betweenness centrality (unweighted), multi-threaded over
+// sources.  Replaces the per-source Python BFS loops in
+// data/structure.py for large graphs (the reference calls
+// networkx.betweenness_centrality, feature_augment.py:109-122).
+void betweenness(int64_t n, const int64_t* indptr,
+                 const int32_t* indices, int64_t num_threads,
+                 double* out) {
+  for (int64_t i = 0; i < n; ++i) out[i] = 0.0;
+  if (n < 3) return;
+  int64_t nt = num_threads < 1 ? 1 : num_threads;
+  std::vector<std::vector<double>> partial(nt,
+                                           std::vector<double>(n, 0.0));
+  std::atomic<int64_t> next_src(0);
+  auto worker = [&](int64_t tid) {
+    std::vector<double> sigma(n), delta(n);
+    std::vector<int64_t> dist(n);
+    std::vector<int32_t> order(n);
+    double* bc = partial[tid].data();
+    for (;;) {
+      int64_t s0 = next_src.fetch_add(1);
+      if (s0 >= n) break;
+      std::fill(sigma.begin(), sigma.end(), 0.0);
+      std::fill(dist.begin(), dist.end(), -1);
+      std::fill(delta.begin(), delta.end(), 0.0);
+      sigma[s0] = 1.0;
+      dist[s0] = 0;
+      int64_t head = 0, tail = 0;
+      order[tail++] = (int32_t)s0;
+      while (head < tail) {
+        int32_t u = order[head++];
+        for (int64_t k = indptr[u]; k < indptr[u + 1]; ++k) {
+          int32_t v = indices[k];
+          if (dist[v] < 0) {
+            dist[v] = dist[u] + 1;
+            order[tail++] = v;
+          }
+          if (dist[v] == dist[u] + 1) sigma[v] += sigma[u];
+        }
+      }
+      // dependency accumulation in reverse BFS order; preds are the
+      // neighbors one level closer (no pred lists needed)
+      for (int64_t i = tail - 1; i > 0; --i) {
+        int32_t v = order[i];
+        double coef = (1.0 + delta[v]) / sigma[v];
+        for (int64_t k = indptr[v]; k < indptr[v + 1]; ++k) {
+          int32_t u = indices[k];
+          if (dist[u] == dist[v] - 1) delta[u] += sigma[u] * coef;
+        }
+      }
+      for (int64_t v = 0; v < n; ++v)
+        if (v != s0) bc[v] += delta[v];
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int64_t t = 0; t < nt; ++t) threads.emplace_back(worker, t);
+  for (auto& th : threads) th.join();
+  for (int64_t t = 0; t < nt; ++t)
+    for (int64_t v = 0; v < n; ++v) out[v] += partial[t][v];
+  // undirected double-count + nx normalization 2/((n-1)(n-2))
+  double norm = 1.0 / ((double)(n - 1) * (double)(n - 2));
+  for (int64_t v = 0; v < n; ++v) out[v] *= norm;
 }
 
 }  // extern "C"

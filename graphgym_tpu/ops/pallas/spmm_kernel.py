@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROWS_PER_TILE = 256     # R: output rows per tile
 EDGES_PER_CHUNK = 512   # C: edges per chunk
+EDGE_GROUP = 1          # G: slots pre-reduced on the VPU per MXU row
 
 
 class PackedCSR(NamedTuple):
@@ -64,11 +65,17 @@ def pack_csr(senders: np.ndarray, receivers: np.ndarray,
              weights: Optional[np.ndarray], num_nodes: int,
              pad_chunks_to: Optional[int] = None,
              rows_per_tile: int = ROWS_PER_TILE,
-             edges_per_chunk: int = EDGES_PER_CHUNK) -> PackedCSR:
+             edges_per_chunk: int = EDGES_PER_CHUNK,
+             group: Optional[int] = None) -> PackedCSR:
     """Host-side packing (numpy).  Deterministic: edges sorted by
     (receiver, original order), so partial sums accumulate in a fixed
-    order — reproducible across runs and shardings."""
+    order — reproducible across runs and shardings.
+
+    group > 1 pads each row's slot span to a multiple of `group` so the
+    kernel can pre-reduce aligned groups on the VPU before the one-hot
+    matmul (every group is row-pure)."""
     R, C = rows_per_tile, edges_per_chunk
+    G = EDGE_GROUP if group is None else group
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
     e = len(senders)
@@ -80,7 +87,7 @@ def pack_csr(senders: np.ndarray, receivers: np.ndarray,
     try:
         from graphgym_tpu import native
         packed = native.pack_csr_arrays(senders, receivers, weights,
-                                        num_nodes, R, C)
+                                        num_nodes, R, C, G)
     except Exception:
         packed = None
     if packed is not None:
@@ -100,42 +107,57 @@ def pack_csr(senders: np.ndarray, receivers: np.ndarray,
         return PackedCSR(jnp.asarray(out_s), jnp.asarray(out_w),
                          jnp.asarray(out_l), jnp.asarray(out_t))
 
-    order = np.argsort(receivers, kind="stable")
+    # numpy fallback: fully vectorized slot assignment.  Sort edges by
+    # (receiver, sender) — sender order within a row is free (same
+    # receiver) and gives gather locality; then pad each row's span to
+    # a multiple of G and lay spans consecutively within each tile.
+    order = np.lexsort((senders, receivers))
     s_s, r_s, w_s = senders[order], receivers[order], weights[order]
-    tile_of_edge = r_s // R
-
     num_tiles = (num_nodes + R - 1) // R
-    # edges per tile
-    tile_counts = np.bincount(tile_of_edge, minlength=num_tiles)
-    chunks_per_tile = np.maximum((tile_counts + C - 1) // C, 1)
+
+    deg = np.bincount(r_s, minlength=num_nodes).astype(np.int64)
+    padded = (deg + G - 1) // G * G
+    tile_of_row = np.arange(num_nodes) // R
+    tile_slots = np.bincount(tile_of_row, weights=padded,
+                             minlength=num_tiles).astype(np.int64)
+    chunks_per_tile = np.maximum((tile_slots + C - 1) // C, 1)
     nc = int(chunks_per_tile.sum())
-
-    out_s = np.full((nc, C), num_nodes, np.int32)   # pad -> padding row
-    out_w = np.zeros((nc, C), np.float32)
-    out_l = np.zeros((nc, C), np.int32)
-    out_t = np.zeros(nc, np.int32)
-
     chunk_start = np.concatenate([[0], np.cumsum(chunks_per_tile)])
-    edge_start = np.concatenate([[0], np.cumsum(tile_counts)])
-    for t in range(num_tiles):
-        lo, hi = edge_start[t], edge_start[t + 1]
-        base_chunk = chunk_start[t]
-        n_chunks = chunks_per_tile[t]
-        out_t[base_chunk:base_chunk + n_chunks] = t
-        for k in range(n_chunks):
-            a = lo + k * C
-            b = min(a + C, hi)
-            if a >= b:
-                continue
-            m = b - a
-            ci = base_chunk + k
-            # within-chunk sender sort: slot order is free (the one-hot
-            # matmul carries the row mapping); sorted senders give the
-            # gather locality
-            sub = np.argsort(s_s[a:b], kind="stable") + a
-            out_s[ci, :m] = s_s[sub]
-            out_w[ci, :m] = w_s[sub]
-            out_l[ci, :m] = (r_s[sub] - t * R).astype(np.int32)
+
+    # slot offset of each row within its tile = running padded sizes
+    # minus the tile's base
+    cum = np.concatenate([[0], np.cumsum(padded)])[:-1]
+    tile_base_cum = cum[::R][:num_tiles]
+    rows_in_tile = np.minimum(R, num_nodes - np.arange(num_tiles) * R)
+    row_off_in_tile = cum - np.repeat(tile_base_cum, rows_in_tile)
+    # global slot of edge k: tile's first chunk * C + row offset + rank
+    # within the row (rank = position - first position of that row)
+    first_pos = np.concatenate([[0], np.cumsum(deg)])[:-1]
+    rank = np.arange(e) - first_pos[r_s]
+    slot = (chunk_start[tile_of_row[r_s]] * C
+            + row_off_in_tile[r_s] + rank)
+
+    out_s = np.full((nc, C), num_nodes, np.int32).reshape(-1)
+    out_w = np.zeros(nc * C, np.float32)
+    out_l = np.zeros(nc * C, np.int32)
+    out_s[slot] = s_s
+    out_w[slot] = w_s
+    out_l[slot] = (r_s - tile_of_row[r_s] * R).astype(np.int32)
+    # padding slots of partially-filled groups keep their row's local
+    # index (zero weight): fill per-row pad ranges
+    pad_amt = padded - deg
+    pr = np.repeat(np.arange(num_nodes), pad_amt)
+    if len(pr):
+        pad_rank = np.arange(len(pr)) - np.repeat(
+            np.concatenate([[0], np.cumsum(pad_amt)])[:-1], pad_amt)
+        pslot = (chunk_start[tile_of_row[pr]] * C
+                 + row_off_in_tile[pr] + deg[pr] + pad_rank)
+        out_l[pslot] = (pr - tile_of_row[pr] * R).astype(np.int32)
+    out_s = out_s.reshape(nc, C)
+    out_w = out_w.reshape(nc, C)
+    out_l = out_l.reshape(nc, C)
+    out_t = np.repeat(np.arange(num_tiles, dtype=np.int32),
+                      chunks_per_tile)
     if pad_chunks_to is not None and pad_chunks_to > nc:
         extra = pad_chunks_to - nc
         out_s = np.concatenate(
@@ -169,85 +191,165 @@ def pad_pack(pack: PackedCSR, pad_chunks_to: int, num_nodes: int,
                          jnp.full((extra,), num_tiles - 1, jnp.int32)]))
 
 
-def _kernel(tiles_ref, local_ref, msg_ref, out_ref, acc_ref):
-    """One chunk per grid step: acc += onehot^T @ msg; flush on last
-    chunk of each tile (pallas writes out_ref back when the out block
-    index changes)."""
-    i = pl.program_id(0)
-    nc = pl.num_programs(0)
-    first = jnp.logical_or(i == 0, tiles_ref[i] != tiles_ref[i - 1])
-    last = jnp.logical_or(i == nc - 1, tiles_ref[i] != tiles_ref[i + 1])
+def _accumulate(onehot, msgw, acc_ref):
+    """acc += onehot^T @ msgw on the MXU.
 
-    @pl.when(first)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    local = local_ref[0]                        # [1, C, 1] -> [C, 1]
-    cols = jax.lax.broadcasted_iota(
-        jnp.int32, (EDGES_PER_CHUNK, ROWS_PER_TILE), 1)
-    onehot = jnp.where(local == cols, 1.0, 0.0).astype(jnp.bfloat16)
-    msg = msg_ref[0]
+    The MXU's DEFAULT f32 path rounds operands through bfloat16
+    (observed ~1e-2 relative error on sums) and Mosaic only offers
+    DEFAULT or 6-pass HIGHEST.  The one-hot side is exact in bf16
+    (entries 0/1), so splitting msgw into hi/lo bf16 planes and doing
+    two DEFAULT passes recovers f32 fidelity at 1/3 the HIGHEST cost.
+    bf16 messages (mixed-precision training) take a one-pass path."""
     dn = (((0,), (0,)), ((), ()))
-    if msg.dtype == jnp.bfloat16:
-        # Fast path (mixed-precision training): messages are already
-        # bf16, one DEFAULT MXU pass with f32 accumulation is exact for
-        # the given inputs.
+    if msgw.dtype == jnp.bfloat16:
         acc_ref[...] += jax.lax.dot_general(
-            onehot, msg, dn, preferred_element_type=jnp.float32)
+            onehot, msgw, dn, preferred_element_type=jnp.float32)
     else:
-        # The MXU's DEFAULT f32 path rounds operands through bfloat16
-        # (observed ~1e-2 relative error on sums) and Mosaic only offers
-        # DEFAULT or 6-pass HIGHEST.  The one-hot side is exact in bf16
-        # (entries 0/1), so splitting msg into hi/lo bf16 planes and
-        # doing two DEFAULT passes recovers f32 fidelity at 1/3 the
-        # HIGHEST cost.
-        hi = msg.astype(jnp.bfloat16)
-        lo = (msg - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        hi = msgw.astype(jnp.bfloat16)
+        lo = (msgw - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         acc_ref[...] += (
             jax.lax.dot_general(onehot, hi, dn,
                                 preferred_element_type=jnp.float32)
             + jax.lax.dot_general(onehot, lo, dn,
                                   preferred_element_type=jnp.float32))
 
+
+def _flush_bounds(tiles_ref):
+    i = pl.program_id(0)
+    nc = pl.num_programs(0)
+    first = jnp.logical_or(i == 0, tiles_ref[i] != tiles_ref[i - 1])
+    last = jnp.logical_or(i == nc - 1, tiles_ref[i] != tiles_ref[i + 1])
+    return first, last
+
+
+def _onehot(local, rows_per_tile):
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, (local.shape[0], rows_per_tile), 1)
+    return jnp.where(local == cols, 1.0, 0.0).astype(jnp.bfloat16)
+
+
+def _group_reduce(msgw, local, group):
+    """VPU pre-reduction: sum aligned groups of `group` slots (each
+    row-pure by pack construction), cutting the MXU contraction depth
+    by `group`.  Exact f32 adds in fixed order.
+
+    The reshape [C, D] -> [C/G, G*D] is layout-free (G consecutive
+    slots land side-by-side in lanes), so the reduction is G-1 adds of
+    contiguous 128-lane blocks — no sublane striding."""
+    if group <= 1:
+        return msgw, local
+    c, d = msgw.shape
+    wide = msgw.reshape(c // group, group * d)
+    acc = wide[:, :d]
+    for gi in range(1, group):
+        acc = acc + wide[:, gi * d:(gi + 1) * d]
+    local = local.reshape(c // group, group, 1)[:, 0]
+    return acc, local
+
+
+def _kernel(tiles_ref, local_ref, msg_ref, out_ref, acc_ref, *,
+            rows_per_tile, group):
+    """One chunk per grid step: acc += onehot^T @ msg; flush on last
+    chunk of each tile (pallas writes out_ref back when the out block
+    index changes)."""
+    first, last = _flush_bounds(tiles_ref)
+
+    @pl.when(first)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    msg = msg_ref[0]
+    in_bf16 = msg.dtype == jnp.bfloat16
+    msgw, local = _group_reduce(msg.astype(jnp.float32), local_ref[0],
+                                group)
+    if in_bf16:
+        msgw = msgw.astype(jnp.bfloat16)
+    _accumulate(_onehot(local, rows_per_tile), msgw, acc_ref)
+
     @pl.when(last)
     def _():
         out_ref[...] = acc_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("num_tiles", "interpret"))
+def _kernel_weighted(tiles_ref, local_ref, w_ref, msg_ref, out_ref,
+                     acc_ref, *, rows_per_tile, group, out_dtype):
+    """Weighted variant: the per-edge weight multiply (and the f32
+    hi/lo split) runs on the VPU inside the kernel, so the caller feeds
+    the *raw* gather output — no separate XLA multiply pass over the
+    [E, D] message stream (saves one full HBM round trip)."""
+    first, last = _flush_bounds(tiles_ref)
+
+    @pl.when(first)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    msg = msg_ref[0]
+    w = w_ref[0].astype(jnp.float32)            # [C, 1]
+    msgw = msg.astype(jnp.float32) * w
+    msgw, local = _group_reduce(msgw, local_ref[0], group)
+    if msg.dtype == jnp.bfloat16:
+        msgw = msgw.astype(jnp.bfloat16)
+    _accumulate(_onehot(local, rows_per_tile), msgw, acc_ref)
+
+    @pl.when(last)
+    def _():
+        out_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_tiles", "interpret", "rows_per_tile", "group"))
 def packed_segment_matmul(msg: jnp.ndarray, local_rows: jnp.ndarray,
                           tiles: jnp.ndarray, num_tiles: int,
-                          interpret: bool = False) -> jnp.ndarray:
+                          weights: Optional[jnp.ndarray] = None,
+                          interpret: bool = False,
+                          rows_per_tile: int = ROWS_PER_TILE,
+                          group: int = 1) -> jnp.ndarray:
     """out[t*R + j] = sum over chunks i with tiles[i]==t of
-    onehot(local_rows[i])^T @ msg[i]."""
+    onehot(local_rows[i])^T @ (msg[i] * weights[i]).
+
+    weights=None skips the in-kernel multiply (callers with
+    pre-weighted messages, e.g. the attention value path).
+    group > 1 requires a pack built with the same group alignment."""
     nc, c, d = msg.shape
-    R = ROWS_PER_TILE
+    R = rows_per_tile
+    assert c % max(group, 1) == 0
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
     # guard the tiles[i+1] / tiles[i-1] neighbor reads at the ends
     tiles = jnp.concatenate([tiles, tiles[-1:]])
+    chunk1 = lambda i, tiles: (i, 0, 0)  # noqa: E731
+    local_spec = pl.BlockSpec((1, c, 1), chunk1, memory_space=pltpu.VMEM)
+    msg_spec = pl.BlockSpec((1, c, d), chunk1, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((R, d), lambda i, tiles: (tiles[i], 0),
+                            memory_space=pltpu.VMEM)
+    if weights is None:
+        kernel = functools.partial(_kernel, rows_per_tile=R,
+                                   group=group)
+        in_specs = [local_spec, msg_spec]
+        args = (tiles, local_rows[..., None], msg)
+    else:
+        kernel = functools.partial(_kernel_weighted, rows_per_tile=R,
+                                   group=group, out_dtype=jnp.float32)
+        in_specs = [local_spec,
+                    pl.BlockSpec((1, c, 1), chunk1,
+                                 memory_space=pltpu.VMEM),
+                    msg_spec]
+        args = (tiles, local_rows[..., None], weights[..., None], msg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nc,),
-        in_specs=[
-            # [NC, C, 1]: lane dim 1 == array dim (Mosaic block rule)
-            pl.BlockSpec((1, c, 1), lambda i, tiles: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, d), lambda i, tiles: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((R, d), lambda i, tiles: (tiles[i], 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((R, d), jnp.float32)],
     )
     return pl.pallas_call(
-        _kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles * R, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(tiles, local_rows[..., None], msg)
+    )(*args)
 
 
 def spmm_packed(pack: PackedCSR, x: jnp.ndarray, num_nodes: int,
@@ -259,14 +361,15 @@ def spmm_packed(pack: PackedCSR, x: jnp.ndarray, num_nodes: int,
         interpret = True
     if x.shape[0] == num_nodes:
         x = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
+    # raw gather only — the weight multiply (and the f32 hi/lo split)
+    # happens inside the kernel, so the [E, D] stream crosses HBM once
+    # in each direction instead of twice
     msg = jnp.take(x, pack.senders.reshape(-1), axis=0)
     msg = msg.reshape(pack.senders.shape + (x.shape[1],))
-    # keep the msg stream in x's dtype (bf16 inputs take the one-pass
-    # fast path in the kernel and halve the HBM traffic)
-    msg = msg * pack.weights[..., None].astype(x.dtype)
     num_tiles = (num_nodes + ROWS_PER_TILE - 1) // ROWS_PER_TILE
     out = packed_segment_matmul(msg, pack.local_rows, pack.tiles,
-                                num_tiles, interpret=interpret)
+                                num_tiles, weights=pack.weights,
+                                interpret=interpret, group=EDGE_GROUP)
     return out[:num_nodes].astype(x.dtype)
 
 

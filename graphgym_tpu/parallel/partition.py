@@ -308,18 +308,18 @@ def partitioned_spmm(plan: EdgePartitionPlan, x: jnp.ndarray,
 
     def local_fn_kernel(x_loc, send_idx, p_send, p_w, p_local, p_tiles):
         from graphgym_tpu.ops.pallas.spmm_kernel import (
-            ROWS_PER_TILE, packed_segment_matmul)
+            EDGE_GROUP, ROWS_PER_TILE, packed_segment_matmul)
 
         x_ext = exchange(x_loc.reshape(n_loc, d),
                          send_idx.reshape(pn, -1))
         p_send = p_send.reshape(p_send.shape[-2:])
         msg = jnp.take(x_ext, p_send.reshape(-1), axis=0).reshape(
             p_send.shape + (d,))
-        msg = msg * p_w.reshape(p_send.shape)[..., None]
         num_tiles = (n_loc + ROWS_PER_TILE - 1) // ROWS_PER_TILE
         out = packed_segment_matmul(
             msg, p_local.reshape(p_send.shape),
-            p_tiles.reshape(-1), num_tiles)
+            p_tiles.reshape(-1), num_tiles,
+            weights=p_w.reshape(p_send.shape), group=EDGE_GROUP)
         return out[:n_loc]
 
     try:
