@@ -119,6 +119,51 @@ def bench_train_epoch(layer="Tfg-idgcn", impl="pallas", epochs=5,
     return dt, edges / dt
 
 
+def bench_attention(num_nodes=131072, num_edges=2_000_000, heads=8,
+                    dv=16, iters=20):
+    """Packed multi-head attention fwd+bwd (additive GAT scores through
+    segment_softmax + the per-head weighted Pallas value kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphgym_tpu.graphs.container import build_graph_batch
+    from graphgym_tpu.graphs.packing import build_packs
+    from graphgym_tpu.nn.layers import packed_attention
+
+    s, r, w, _ = make_graph(num_nodes, num_edges, dv)
+    rng = np.random.default_rng(1)
+    batch = build_graph_batch(s, r, rng.normal(
+        size=(num_nodes, heads * dv)).astype(np.float32))
+    packs = build_packs(np.asarray(batch.senders),
+                        np.asarray(batch.receivers),
+                        np.asarray(batch.edge_weight),
+                        np.asarray(batch.node_mask),
+                        batch.num_nodes, kinds=("att",))
+    batch = batch.replace(packs=packs)
+    h = jnp.asarray(rng.normal(
+        size=(batch.num_nodes, heads, dv)).astype(np.float32))
+    s_dst = jnp.asarray(rng.normal(
+        size=(batch.num_nodes, heads)).astype(np.float32))
+    s_src = jnp.asarray(rng.normal(
+        size=(batch.num_nodes, heads)).astype(np.float32))
+
+    def loss(h_, sd, ss):
+        out = packed_attention(
+            batch, h_, None, node_scores=(sd, ss),
+            score_transform=lambda a: jax.nn.leaky_relu(a, 0.2))
+        return jnp.sum(out ** 2)
+
+    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    g = step(h, s_dst, s_src)
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = step(h, s_dst, s_src)
+    jax.block_until_ready(g)
+    # att pack includes self-loops
+    return (num_edges + num_nodes) * iters / (time.perf_counter() - t0)
+
+
 def run_suite(out_path="BENCH_DETAILS.json"):
     details = {}
     for impl in ("xla", "pallas"):
@@ -126,6 +171,7 @@ def run_suite(out_path="BENCH_DETAILS.json"):
             bench_spmm(impl=impl), 1)
     details["spmm_fwd_bwd_pallas_bf16_edges_per_s"] = round(
         bench_spmm(impl="pallas", dtype="bfloat16"), 1)
+    details["attention_fwd_bwd_edges_per_s"] = round(bench_attention(), 1)
     for impl in ("xla", "pallas"):
         dt, eps = bench_train_epoch(impl=impl)
         details[f"idgcn_ws_epoch_s_{impl}"] = round(dt, 4)
@@ -133,9 +179,66 @@ def run_suite(out_path="BENCH_DETAILS.json"):
     dt, eps = bench_train_epoch(impl="pallas", dtype="bfloat16")
     details["idgcn_ws_epoch_s_pallas_bf16"] = round(dt, 4)
     details["idgcn_ws_train_edges_per_s_pallas_bf16"] = round(eps, 1)
+    # graph-task (TU) epoch time: multi-batch ENZYMES node task
+    for impl in ("xla", "pallas"):
+        try:
+            dt, eps = bench_tu_epoch(impl=impl)
+            details[f"tu_enzymes_epoch_s_{impl}"] = round(dt, 4)
+            details[f"tu_enzymes_train_edges_per_s_{impl}"] = round(
+                eps, 1)
+        except FileNotFoundError:
+            details[f"tu_enzymes_epoch_s_{impl}"] = None
     with open(out_path, "w") as f:
         json.dump(details, f, indent=1)
     return details
+
+
+def bench_tu_epoch(impl="pallas", epochs=5):
+    """Multi-batch graph-corpus epoch time (TU ENZYMES when raw files
+    are present, else the ws corpus as a stand-in multi-batch task)."""
+    import jax
+
+    from graphgym_tpu.config import get_cfg
+    from graphgym_tpu.data.loaders import create_dataset, create_loader
+    from graphgym_tpu.nn.model import build_model
+    from graphgym_tpu.train.logger import Logger
+    from graphgym_tpu.train.loop import Trainer
+
+    cfg = get_cfg()
+    try:
+        cfg.merge_from_dict({
+            "dataset": {"format": "TU", "name": "ENZYMES",
+                        "task": "graph"},
+            "gnn": {"layers_mp": 3, "dim_inner": 128,
+                    "layer_type": "gcnconv"},
+            "train": {"batch_size": 64},
+            "tpu": {"spmm_impl": impl},
+            "optim": {"scheduler": "none"}})
+        np.random.seed(1)
+        splits = create_dataset(cfg)
+    except FileNotFoundError:
+        cfg = get_cfg()
+        cfg.merge_from_dict({
+            "dataset": {"format": "nx", "name": "ws", "task": "graph",
+                        "augment_label": "graph_path_len",
+                        "augment_label_dims": 5},
+            "gnn": {"layers_mp": 3, "dim_inner": 128,
+                    "layer_type": "gcnconv"},
+            "train": {"batch_size": 64},
+            "tpu": {"spmm_impl": impl},
+            "optim": {"scheduler": "none"}})
+        np.random.seed(1)
+        splits = create_dataset(cfg)
+    loaders = create_loader(splits, cfg)
+    tr = Trainer(build_model(cfg), loaders, cfg)
+    edges = sum(int(b.count_real_edges())
+                for b in loaders[0].batches(0))
+    tr.train_epoch(Logger("warmup"), 0)
+    t0 = time.perf_counter()
+    for ep in range(epochs):
+        tr.train_epoch(Logger("t"), ep)
+    dt = (time.perf_counter() - t0) / epochs
+    return dt, edges / dt
 
 
 def main():

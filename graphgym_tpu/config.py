@@ -189,7 +189,6 @@ def set_cfg(cfg: CfgNode) -> CfgNode:
     cfg.train.sampler = "full_batch"
     cfg.train.sample_node = False
     cfg.train.node_per_graph = 32
-    cfg.train.radius = "extend"
     cfg.train.eval_period = 10
     cfg.train.ckpt_period = 100
     cfg.train.auto_resume = False
@@ -204,7 +203,6 @@ def set_cfg(cfg: CfgNode) -> CfgNode:
     cfg.val.sample_node = False
     cfg.val.sampler = "full_batch"
     cfg.val.node_per_graph = 32
-    cfg.val.radius = "extend"
 
     # -------------------------------------------------- model
     cfg.model = CfgNode()
@@ -234,6 +232,10 @@ def set_cfg(cfg: CfgNode) -> CfgNode:
     cfg.gnn.msg_direction = "single"
     cfg.gnn.self_msg = "concat"
     cfg.gnn.att_heads = 1
+    # attention-coefficient dropout (TPU-build extension; the reference's
+    # tfg GAT exposes drop_rate=0.0, TfgIDLayer.py:180-201, but no config
+    # knob ever sets it)
+    cfg.gnn.att_dropout = 0.0
     cfg.gnn.att_final_linear = False
     cfg.gnn.att_final_linear_bn = False
     cfg.gnn.l2norm = True
@@ -254,8 +256,11 @@ def set_cfg(cfg: CfgNode) -> CfgNode:
     cfg.bn = CfgNode()
     cfg.bn.eps = 1e-5
     cfg.bn.mom = 0.1
-    cfg.mem = CfgNode()
-    cfg.mem.inplace = False
+    # no cfg.mem group: the reference's mem.inplace only toggled torch
+    # in-place activations (reference models/act.py:7-13); under XLA,
+    # buffer reuse and jit donation (train/loop.py donated steps) cover
+    # that permanently, so the knob would be dead — permissive merge
+    # still accepts YAMLs that set it.
 
     # -------------------------------------------------- tpu-specific (new)
     cfg.tpu = CfgNode()

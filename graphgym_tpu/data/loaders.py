@@ -816,13 +816,15 @@ class GraphLoader:
                                         num_neg, self.rng)
                 g["edge_label_index"] = np.concatenate(
                     [pos, neg], axis=1).astype(np.int32)
-        sample_node = (self.shuffle and self.cfg.train.sample_node
+        # per-epoch node subsampling (reference cfg.train.sample_node /
+        # node_per_graph, config.py:218-221; eval-side twin
+        # cfg.val.sample_node / node_per_graph, config.py:204-206):
+        # supervise a fresh random subset of node_per_graph nodes
+        sample_group = self.cfg.train if self.shuffle else self.cfg.val
+        sample_node = (sample_group.sample_node
                        and self.cfg.dataset.task == "node")
         if sample_node:
-            # per-epoch node subsampling (reference cfg.train.sample_node
-            # / node_per_graph, config.py:218-221): supervise a fresh
-            # random subset of node_per_graph nodes per graph
-            k = self.cfg.train.node_per_graph
+            k = sample_group.node_per_graph
             for g in self.graphs:
                 base = g.get("_full_label_index")
                 if base is None:
@@ -929,11 +931,18 @@ class GraphLoader:
         # Pallas SpMM path: precompute normalized packed-chunk layouts
         impl = cfg.tpu.spmm_impl
         if impl == "auto":
+            # pallas on a single TPU chip for full-batch AND multi-batch
+            # (TU/ego) loaders — pack chunk counts are bucketed to
+            # powers of two (graphs/packing.py) so batches share
+            # compiled programs.  Sampler loaders redraw graphs each
+            # epoch (fresh host-side packing every epoch), so they stay
+            # on the XLA path unless spmm_impl=pallas is set explicitly.
             import jax
             impl = ("pallas"
                     if jax.default_backend() == "tpu"
                     and len(jax.devices()) == 1
-                    and cfg.train.sampler == "full_batch" else "xla")
+                    and cfg.train.sampler == "full_batch"
+                    and cfg.val.sampler == "full_batch" else "xla")
         partition_node = bool(cfg.tpu.mesh_shape) \
             and cfg.tpu.partition == "node"
         if impl == "pallas" and not cfg.tpu.mesh_shape:
@@ -1010,9 +1019,11 @@ class SamplerLoader(GraphLoader):
     sized from an initial draw with 2x slack; oversized draws are
     re-bucketed (one extra compile)."""
 
-    def __init__(self, graphs, cfg, *, batch_size, rng=None):
+    def __init__(self, graphs, cfg, *, batch_size, rng=None,
+                 sampler: Optional[str] = None):
         self.base_graphs = list(graphs)
         self.cfg = cfg  # needed by _draw before super().__init__
+        self.sampler_kind = sampler or cfg.train.sampler
         self.sample_rng = rng or np.random.default_rng(cfg.seed)
         first = self._draw(0)
         super().__init__(first, cfg, batch_size=batch_size,
@@ -1027,7 +1038,8 @@ class SamplerLoader(GraphLoader):
         from graphgym_tpu.data.samplers import make_sampled_graphs
         out = []
         for g in self.base_graphs:
-            out.extend(make_sampled_graphs(g, self.cfg, self.sample_rng))
+            out.extend(make_sampled_graphs(g, self.cfg, self.sample_rng,
+                                           sampler=self.sampler_kind))
         return out
 
     def batches(self, epoch: int = 0):
@@ -1063,7 +1075,15 @@ def create_loader(splits: List[List[HostGraph]], cfg) -> List[GraphLoader]:
                                batch_size=cfg.train.batch_size,
                                shuffle=True, rng=rng)]
     for part in splits[1:]:
-        loaders.append(GraphLoader(part, cfg,
-                                   batch_size=cfg.train.batch_size,
-                                   shuffle=False, rng=rng))
+        # val/test loaders honor cfg.val.sampler (reference
+        # loader_pyg.py:272-283 passes cfg.val.sampler, shuffle=False)
+        if cfg.val.sampler != "full_batch":
+            loaders.append(SamplerLoader(part, cfg,
+                                         batch_size=cfg.train.batch_size,
+                                         rng=rng,
+                                         sampler=cfg.val.sampler))
+        else:
+            loaders.append(GraphLoader(part, cfg,
+                                       batch_size=cfg.train.batch_size,
+                                       shuffle=False, rng=rng))
     return loaders

@@ -178,9 +178,12 @@ def cluster_parts(g: HostGraph, num_parts: int,
 
 
 def make_sampled_graphs(g: HostGraph, cfg,
-                        rng: np.random.Generator) -> List[HostGraph]:
-    """One epoch's worth of sampled subgraphs for cfg.train.sampler."""
-    sampler = cfg.train.sampler
+                        rng: np.random.Generator,
+                        sampler: str = None) -> List[HostGraph]:
+    """One epoch's worth of sampled subgraphs for cfg.train.sampler
+    (val/test loaders pass cfg.val.sampler instead — reference
+    loader_pyg.py:272-283)."""
+    sampler = sampler or cfg.train.sampler
     iters = cfg.train.iter_per_epoch
     if sampler == "full_batch":
         return [g]

@@ -81,8 +81,19 @@ def build_packs(senders: np.ndarray, receivers: np.ndarray,
             raise ValueError(f"Unknown pack kind {kind}")
         fwd = pack_csr(s, r, w, num_nodes)
         bwd = pack_csr(r, s, w, num_nodes)
+        # bucket chunk counts to powers of two so multi-batch loaders
+        # (TU / ego corpora) share compiled programs across batches
+        from graphgym_tpu.graphs.container import bucket_size
+        fwd = _pad_to_bucket(fwd, num_nodes, bucket_size)
+        bwd = _pad_to_bucket(bwd, num_nodes, bucket_size)
         out[kind] = (fwd, bwd)
     return out
+
+
+def _pad_to_bucket(pack: PackedCSR, num_nodes: int, bucket_size):
+    from graphgym_tpu.ops.pallas.spmm_kernel import pad_pack
+    nc = pack.senders.shape[0]
+    return pad_pack(pack, bucket_size(nc), num_nodes)
 
 
 def kinds_for_layer(layer_type: str) -> Tuple[str, ...]:

@@ -216,19 +216,20 @@ class GATIDConv(nn.Module):
         def lrelu(a):
             return jax.nn.leaky_relu(a, negative_slope=self.negative_slope)
 
-        if self.att_dropout == 0:
-            from graphgym_tpu.nn.layers import packed_attention
+        from graphgym_tpu.nn.layers import packed_attention
 
-            packed = packed_attention(graph, h, None,
-                                      node_scores=(s_dst, s_src),
-                                      score_transform=lrelu)
-            if packed is not None:
-                out = packed.reshape(n, self.dim_out) \
-                    if self.concat_heads else jnp.mean(packed, axis=1)
-                if self.use_bias:
-                    out = out + self.param("bias", zeros_init,
-                                           (out.shape[-1],))
-                return graph.replace(node_feat=out)
+        drop = self.att_dropout if train else 0.0
+        packed = packed_attention(
+            graph, h, None, node_scores=(s_dst, s_src),
+            score_transform=lrelu, dropout_rate=drop,
+            dropout_rng=self.make_rng("dropout") if drop > 0 else None)
+        if packed is not None:
+            out = packed.reshape(n, self.dim_out) \
+                if self.concat_heads else jnp.mean(packed, axis=1)
+            if self.use_bias:
+                out = out + self.param("bias", zeros_init,
+                                       (out.shape[-1],))
+            return graph.replace(node_feat=out)
 
         loop = jnp.arange(n, dtype=graph.senders.dtype)
         senders = jnp.concatenate([graph.senders, loop])
@@ -286,17 +287,19 @@ class TfgIDGAT(nn.Module):
         k = act_dict[self.key_act](x @ wk + bk).reshape(n, self.heads, dh)
         v = sp.apply_id_weights(x, idx, wv, wv_id, id_mask)
 
-        if self.att_dropout == 0 and self.split_value_heads \
-                and self.dim_out % self.heads == 0:
+        if self.split_value_heads and self.dim_out % self.heads == 0:
             from graphgym_tpu.nn.layers import packed_attention
             scale = jnp.sqrt(jnp.asarray(dh, x.dtype))
 
             def score(q_i, k_j):
                 return jnp.sum(q_i * k_j, axis=-1) / scale
 
+            drop = self.att_dropout if train else 0.0
             vh = v.reshape(n, self.heads, self.dim_out // self.heads)
-            packed = packed_attention(graph, q, score, values=vh,
-                                      keys=k)
+            packed = packed_attention(
+                graph, q, score, values=vh, keys=k, dropout_rate=drop,
+                dropout_rng=self.make_rng("dropout") if drop > 0
+                else None)
             if packed is not None:
                 out = packed.reshape(n, self.dim_out)
                 if self.use_bias:

@@ -69,7 +69,8 @@ def _active_mesh():
 def packed_attention(graph: GraphBatch, h_heads: jnp.ndarray,
                      score_fn=None, values: Optional[jnp.ndarray] = None,
                      keys: Optional[jnp.ndarray] = None,
-                     node_scores=None, score_transform=None):
+                     node_scores=None, score_transform=None,
+                     dropout_rate: float = 0.0, dropout_rng=None):
     """Fused-layout multi-head attention over the 'att' pack: per-edge
     scores and softmax run on scalars in packed slot order (no [E, D]
     scatters), value aggregation through the differentiable Pallas
@@ -91,6 +92,10 @@ def packed_attention(graph: GraphBatch, h_heads: jnp.ndarray,
     mesh = _active_mesh()
     if mesh is not None and graph.plans is not None \
             and "att" in graph.plans:
+        if dropout_rate > 0.0:
+            # partitioned attention has no coefficient-dropout path yet;
+            # fall back to the (GSPMD-sharded) XLA formulation
+            return None
         from graphgym_tpu.parallel.partition import partitioned_attention
         return partitioned_attention(
             graph.plans["att"], h_heads,
@@ -100,8 +105,8 @@ def packed_attention(graph: GraphBatch, h_heads: jnp.ndarray,
             node_scores=node_scores, score_transform=score_transform)
     if graph.packs is None or "att" not in graph.packs:
         return None
-    from graphgym_tpu.ops.pallas.spmm_kernel import (pack_rows,
-                                                     segment_matmul_vjp)
+    from graphgym_tpu.ops.pallas.spmm_kernel import (
+        pack_rows, segment_matmul_headed_vjp)
     fwd, _ = graph.packs["att"]
     n = graph.num_nodes
     H = h_heads.shape[1]
@@ -134,10 +139,20 @@ def packed_attention(graph: GraphBatch, h_heads: jnp.ndarray,
     mask = valid.reshape(-1)[:, None] & jnp.ones_like(flat, bool)
     alpha_sm = S.segment_softmax(flat, flat_rows, n, mask=mask)
     alpha_sm = alpha_sm.reshape(alpha.shape)
-    v_j = take_padded(v, fwd.senders)
-    msg = (v_j * alpha_sm[..., None]).reshape(
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        # attention-coefficient dropout (reference attconv.py
+        # att_dropout): scalar [*, H] mask on the softmax'd
+        # coefficients — rides the per-head weighted kernel, so the
+        # packed path no longer bails out when att_dropout > 0
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    alpha_sm.shape)
+        alpha_sm = jnp.where(keep, alpha_sm / (1.0 - dropout_rate), 0.0)
+    # raw value gather; the per-head alpha multiply runs inside the
+    # kernel (segment_matmul_headed_vjp) — no [E, H*dv] XLA multiply
+    v_j = take_padded(v, fwd.senders).reshape(
         fwd.senders.shape + (H * dv,))
-    out = segment_matmul_vjp(msg, fwd.local_rows, fwd.tiles, n)
+    out = segment_matmul_headed_vjp(v_j, alpha_sm, fwd.local_rows,
+                                    fwd.tiles, n, H)
     return out.reshape(n, H, dv)
 
 
@@ -331,17 +346,18 @@ class GATConv(nn.Module):
         def lrelu(a):
             return jax.nn.leaky_relu(a, negative_slope=self.negative_slope)
 
-        if self.att_dropout == 0:
-            packed = packed_attention(graph, h, None,
-                                      node_scores=(s_dst, s_src),
-                                      score_transform=lrelu)
-            if packed is not None:
-                out = packed.reshape(n, self.heads * per_head) \
-                    if self.concat_heads else jnp.mean(packed, axis=1)
-                if self.use_bias:
-                    out = out + self.param("bias", zeros_init,
-                                           (out.shape[-1],))
-                return graph.replace(node_feat=out)
+        drop = self.att_dropout if train else 0.0
+        packed = packed_attention(
+            graph, h, None, node_scores=(s_dst, s_src),
+            score_transform=lrelu, dropout_rate=drop,
+            dropout_rng=self.make_rng("dropout") if drop > 0 else None)
+        if packed is not None:
+            out = packed.reshape(n, self.heads * per_head) \
+                if self.concat_heads else jnp.mean(packed, axis=1)
+            if self.use_bias:
+                out = out + self.param("bias", zeros_init,
+                                       (out.shape[-1],))
+            return graph.replace(node_feat=out)
 
         loop = jnp.arange(n, dtype=graph.senders.dtype)
         senders = jnp.concatenate([graph.senders, loop])
@@ -406,16 +422,18 @@ class TfgGATConv(nn.Module):
         k = act_dict[self.key_act](x @ wk + bk).reshape(n, self.heads, dh)
         v = jnp.dot(x, wv, preferred_element_type=x.dtype)
 
-        if self.att_dropout == 0 and self.split_value_heads \
-                and self.dim_out % self.heads == 0:
+        if self.split_value_heads and self.dim_out % self.heads == 0:
             scale = jnp.sqrt(jnp.asarray(dh, x.dtype))
 
             def score(q_i, k_j):
                 return jnp.sum(q_i * k_j, axis=-1) / scale
 
+            drop = self.att_dropout if train else 0.0
             vh = v.reshape(n, self.heads, self.dim_out // self.heads)
-            packed = packed_attention(graph, q, score, values=vh,
-                                      keys=k)
+            packed = packed_attention(
+                graph, q, score, values=vh, keys=k, dropout_rate=drop,
+                dropout_rng=self.make_rng("dropout") if drop > 0
+                else None)
             if packed is not None:
                 out = packed.reshape(n, self.dim_out)
                 if self.use_bias:

@@ -37,13 +37,15 @@ def make_conv(name: str, dim_out: int, gnn_cfg, use_bias: bool) -> nn.Module:
     the gnn config group (the explicit replacement for the reference's
     cfg-at-construction reads, layer.py:224-238 + idconv.py:444-448)."""
     heads = gnn_cfg.att_heads
+    att_drop = getattr(gnn_cfg, "att_dropout", 0.0)
     common = dict(dim_out=dim_out, use_bias=use_bias)
     table: Dict[str, Callable[[], nn.Module]] = {
         "linear": lambda: L.Linear(dim_out, use_bias=use_bias),
         "mlp": lambda: L.MLP(dim_out, use_bias=use_bias, act=gnn_cfg.act),
         "gcnconv": lambda: L.GCNConv(**common),
         "sageconv": lambda: L.SAGEConv(**common, combine="sum"),
-        "gatconv": lambda: L.GATConv(**common, heads=heads),
+        "gatconv": lambda: L.GATConv(**common, heads=heads,
+                                     att_dropout=att_drop),
         "ginconv": lambda: L.GINConv(dim_out),
         "splineconv": lambda: L.SplineConv(**common),
         "generalconv": lambda: L.GeneralConv(
@@ -64,7 +66,8 @@ def make_conv(name: str, dim_out: int, gnn_cfg, use_bias: bool) -> nn.Module:
             normalize_adj=gnn_cfg.normalize_adj),
         "gcnidconv": lambda: idl.GCNIDConv(**common),
         "sageidconv": lambda: idl.SAGEIDConv(**common, concat_self=True),
-        "gatidconv": lambda: idl.GATIDConv(**common, heads=heads),
+        "gatidconv": lambda: idl.GATIDConv(**common, heads=heads,
+                                           att_dropout=att_drop),
         "ginidconv": lambda: idl.GINIDConv(dim_out),
         # ---- contrib attention family (attconv.py:538-543 names)
         "gaddconv": lambda: att.GeneralAddAttConv(**common, heads=heads),
@@ -90,11 +93,13 @@ def make_conv(name: str, dim_out: int, gnn_cfg, use_bias: bool) -> nn.Module:
         "Tfg-gcnconv": lambda: L.GCNConv(dim_out, use_bias=True),
         "Tfg-sageconv": lambda: L.SAGEConv(dim_out, use_bias=True,
                                            combine="concat"),
-        "Tfg-gatconv": lambda: L.TfgGATConv(dim_out, heads=heads),
+        "Tfg-gatconv": lambda: L.TfgGATConv(dim_out, heads=heads,
+                                            att_dropout=att_drop),
         "Tfg-ginconv": lambda: L.GINConv(dim_out, mlp_bn=True),
         "Tfg-idgcn": lambda: idl.GCNIDConv(dim_out, use_bias=True),
         "Tfg-idsage": lambda: idl.TfgIDSAGE(dim_out, use_bias=True),
-        "Tfg-idgat": lambda: idl.TfgIDGAT(dim_out, heads=heads),
+        "Tfg-idgat": lambda: idl.TfgIDGAT(dim_out, heads=heads,
+                                          att_dropout=att_drop),
         "Tfg-idgin": lambda: idl.GINIDConv(dim_out, mlp_bn=True),
     }
     if name in register.layer_dict:
@@ -123,6 +128,7 @@ class GNNOptions:
     msg_direction: str = "single"
     self_msg: str = "concat"
     att_heads: int = 1
+    att_dropout: float = 0.0
     att_final_linear: bool = False
     att_final_linear_bn: bool = False
     flow: str = "source_to_target"
@@ -330,6 +336,7 @@ def options_from_cfg(cfg) -> GNNOptions:
             act=cfg.gnn.act,
             dropout=0.0,
             att_heads=cfg.gnn.att_heads,
+            att_dropout=cfg.gnn.att_dropout,
             l2norm=False,
             bn_eps=cfg.bn.eps,
             bn_mom=cfg.bn.mom,
@@ -356,6 +363,7 @@ def options_from_cfg(cfg) -> GNNOptions:
         msg_direction=cfg.gnn.msg_direction,
         self_msg=cfg.gnn.self_msg,
         att_heads=cfg.gnn.att_heads,
+        att_dropout=cfg.gnn.att_dropout,
         att_final_linear=cfg.gnn.att_final_linear,
         att_final_linear_bn=cfg.gnn.att_final_linear_bn,
         flow=cfg.gnn.flow,

@@ -448,6 +448,120 @@ def _segmm_bwd(num_nodes, res, g):
 segment_matmul_vjp.defvjp(_segmm_fwd, _segmm_bwd)
 
 
+def _kernel_headed(tiles_ref, local_ref, w_ref, msg_ref, out_ref,
+                   acc_ref, *, rows_per_tile, heads):
+    """Per-head weighted variant for attention: weights [C, H] multiply
+    msg viewed as [C, H, dv] per head on the VPU, then the usual one-hot
+    accumulation.  Traced weights (softmax'd attention coefficients)
+    differentiate through segment_matmul_headed_vjp."""
+    first, last = _flush_bounds(tiles_ref)
+
+    @pl.when(first)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    msg = msg_ref[0]
+    c, hd = msg.shape
+    dv = hd // heads
+    w = w_ref[0].astype(jnp.float32)            # [C, H]
+    # broadcast each head's weight across its dv lanes
+    w_wide = jnp.repeat(w, dv, axis=1)          # [C, H*dv]
+    msgw = msg.astype(jnp.float32) * w_wide
+    if msg.dtype == jnp.bfloat16:
+        msgw = msgw.astype(jnp.bfloat16)
+    _accumulate(_onehot(local_ref[0], rows_per_tile), msgw, acc_ref)
+
+    @pl.when(last)
+    def _():
+        out_ref[...] = acc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_tiles", "heads", "interpret", "rows_per_tile"))
+def packed_segment_matmul_headed(msg: jnp.ndarray, weights: jnp.ndarray,
+                                 local_rows: jnp.ndarray,
+                                 tiles: jnp.ndarray, num_tiles: int,
+                                 heads: int, interpret: bool = False,
+                                 rows_per_tile: int = ROWS_PER_TILE
+                                 ) -> jnp.ndarray:
+    """out[t*R + j, h*dv + k] = sum over slots of row j of
+    weights[slot, h] * msg[slot, h*dv + k]."""
+    nc, c, hd = msg.shape
+    R = rows_per_tile
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    tiles = jnp.concatenate([tiles, tiles[-1:]])
+    chunk1 = lambda i, tiles: (i, 0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((1, c, 1), chunk1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, heads), chunk1,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, hd), chunk1, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, hd), lambda i, tiles: (tiles[i], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((R, hd), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_headed, rows_per_tile=R, heads=heads),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles * R, hd), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(tiles, local_rows[..., None], weights, msg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def segment_matmul_headed_vjp(msg: jnp.ndarray, weights: jnp.ndarray,
+                              local_rows: jnp.ndarray,
+                              tiles: jnp.ndarray, num_nodes: int,
+                              heads: int) -> jnp.ndarray:
+    """Differentiable per-head weighted packed aggregation:
+    out[row(s), h, :] += weights[s, h] * msg[s, h, :].
+
+    Both msg and weights are traced: d_msg[s, h, :] = w[s, h] *
+    g[row(s), h, :] (gather) and d_w[s, h] = <g[row(s), h, :],
+    msg[s, h, :]> (SDDMM) — no scatters anywhere, so attention
+    coefficients from softmax (incl. dropout masks) flow straight
+    through the kernel (replaces the XLA [E, H*dv] multiply pass of the
+    previous packed_attention; reference counterpart
+    TfgIDLayer.py:333-355 virtual-node attention)."""
+    num_tiles = (num_nodes + ROWS_PER_TILE - 1) // ROWS_PER_TILE
+    return packed_segment_matmul_headed(
+        msg, weights, local_rows, tiles, num_tiles,
+        heads)[:num_nodes]
+
+
+def _segmm_headed_fwd(msg, weights, local_rows, tiles, num_nodes, heads):
+    out = segment_matmul_headed_vjp(msg, weights, local_rows, tiles,
+                                    num_nodes, heads)
+    return out, (msg, weights, local_rows, tiles)
+
+
+def _segmm_headed_bwd(num_nodes, heads, res, g):
+    msg, weights, local_rows, tiles = res
+    nc, c, hd = msg.shape
+    dv = hd // heads
+    rows = tiles[:, None] * ROWS_PER_TILE + local_rows      # [NC, C]
+    rows = jnp.minimum(rows, g.shape[0] - 1)
+    g_rows = jnp.take(g, rows.reshape(-1), axis=0).reshape(
+        nc, c, heads, dv)
+    w_wide = weights[..., None]                             # [NC,C,H,1]
+    d_msg = (g_rows * w_wide).reshape(nc, c, hd).astype(msg.dtype)
+    d_w = jnp.sum(g_rows * msg.reshape(nc, c, heads, dv),
+                  axis=-1).astype(weights.dtype)            # [NC, C, H]
+    zero_i = np.zeros(local_rows.shape, dtype=jax.dtypes.float0)
+    zero_t = np.zeros(tiles.shape, dtype=jax.dtypes.float0)
+    return d_msg, d_w, zero_i, zero_t
+
+
+segment_matmul_headed_vjp.defvjp(_segmm_headed_fwd, _segmm_headed_bwd)
+
+
 def pack_rows(pack: PackedCSR) -> jnp.ndarray:
     """Receiver row of every packed slot: tiles*R + local."""
     return (pack.tiles[:, None] * ROWS_PER_TILE

@@ -116,3 +116,72 @@ class TestKernelInterpret:
         ref = np.sum(g[r] * x[s], axis=-1)
         np.testing.assert_allclose(np.asarray(dw), ref, rtol=1e-4,
                                    atol=1e-4)
+
+
+class TestHeadedKernel:
+    """Per-head weighted aggregation (attention value path):
+    segment_matmul_headed_vjp vs the dense reference, values and both
+    gradients."""
+
+    def _setup(self, n=150, e=700, heads=4, dv=8, seed=5):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(0, n, e).astype(np.int32)
+        r = rng.integers(0, n, e).astype(np.int32)
+        pack = K.pack_csr(s, r, None, n)
+        nc, c = pack.senders.shape
+        v = rng.normal(size=(n + 1, heads, dv)).astype(np.float32)
+        v[n] = 0.0
+        alpha = rng.random((nc, c, heads)).astype(np.float32)
+        alpha *= np.asarray(pack.weights)[..., None]  # zero on padding
+        vj = v[np.asarray(pack.senders)].reshape(nc, c, heads * dv)
+        return s, r, pack, v, alpha, vj, heads, dv, n
+
+    def test_forward_matches_dense(self):
+        s, r, pack, v, alpha, vj, H, dv, n = self._setup()
+        out = K.segment_matmul_headed_vjp(
+            jnp.asarray(vj), jnp.asarray(alpha), pack.local_rows,
+            pack.tiles, n, H)
+        rows = np.asarray(K.pack_rows(pack))
+        ref = np.zeros((n, H, dv), np.float32)
+        nc, c = rows.shape
+        for i in range(nc):
+            for j in range(c):
+                if np.asarray(pack.weights)[i, j] > 0:
+                    ref[rows[i, j]] += (alpha[i, j][:, None]
+                                        * vj[i, j].reshape(H, dv))
+        np.testing.assert_allclose(np.asarray(out).reshape(n, H, dv),
+                                   ref, rtol=1e-3, atol=1e-3)
+
+    def test_gradients(self):
+        s, r, pack, v, alpha, vj, H, dv, n = self._setup(n=60, e=200)
+
+        def loss(vj_, alpha_):
+            out = K.segment_matmul_headed_vjp(
+                vj_, alpha_, pack.local_rows, pack.tiles, n, H)
+            return jnp.sum(out ** 2)
+
+        g_vj, g_a = jax.grad(loss, argnums=(0, 1))(
+            jnp.asarray(vj), jnp.asarray(alpha))
+        # reference grads via explicit dense formulation
+        rows = np.asarray(K.pack_rows(pack))
+        out = np.zeros((n, H, dv), np.float32)
+        nc, c = rows.shape
+        w = np.asarray(pack.weights)
+        for i in range(nc):
+            for j in range(c):
+                if w[i, j] > 0:
+                    out[rows[i, j]] += (alpha[i, j][:, None]
+                                        * vj[i, j].reshape(H, dv))
+        g_out = 2 * out
+        ref_vj = np.zeros_like(vj)
+        ref_a = np.zeros_like(alpha)
+        for i in range(nc):
+            for j in range(c):
+                go = g_out[min(rows[i, j], n - 1)]
+                ref_vj[i, j] = (go * alpha[i, j][:, None]).reshape(-1)
+                ref_a[i, j] = np.sum(
+                    go * vj[i, j].reshape(H, dv), axis=-1)
+        np.testing.assert_allclose(np.asarray(g_vj), ref_vj,
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(g_a), ref_a,
+                                   rtol=1e-3, atol=1e-3)

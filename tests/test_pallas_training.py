@@ -77,3 +77,46 @@ def test_packs_present_only_when_requested():
     loaders = create_loader([p[:2] for p in splits], cfg)
     b = loaders[0].batches(0)[0]
     assert b.packs is not None and "gcn" in b.packs
+
+
+def test_att_dropout_trains_on_packed_path(monkeypatch):
+    """att_dropout > 0 no longer fences off the packed attention path:
+    the coefficient-dropout mask rides segment_matmul_headed_vjp
+    (reference attconv.py att dropout semantics).  Guard: the packed
+    path must actually be taken (packed_attention returns non-None)."""
+    import graphgym_tpu.nn.layers as L
+
+    calls = {"packed": 0}
+    orig = L.packed_attention
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        if out is not None:
+            calls["packed"] += 1
+        return out
+
+    monkeypatch.setattr(L, "packed_attention", spy)
+
+    cfg = get_cfg()
+    cfg.merge_from_dict({
+        "dataset": {"format": "nx", "name": "ws", "task": "node",
+                    "transductive": False, "split": [0.8, 0.2],
+                    "augment_label": "node_clustering_coefficient",
+                    "augment_label_dims": 4, "transform": "none"},
+        "gnn": {"layers_mp": 2, "dim_inner": 16,
+                "layer_type": "gatconv", "att_dropout": 0.3,
+                "batchnorm": False},
+        "train": {"batch_size": 8},
+        "tpu": {"spmm_impl": "pallas"},
+        "optim": {"scheduler": "none"}})
+    np.random.seed(0)
+    splits = create_dataset(cfg)
+    splits = [p[:4] for p in splits]
+    loaders = create_loader(splits, cfg)
+    tr = Trainer(build_model(cfg), loaders, cfg,
+                 rng=jax.random.PRNGKey(0))
+    lg = Logger("train")
+    tr.train_epoch(lg, 0)
+    loss = lg._loss / lg._size_current
+    assert np.isfinite(loss)
+    assert calls["packed"] > 0, "packed attention path was not used"
