@@ -203,6 +203,10 @@ def set_cfg(cfg: CfgNode) -> CfgNode:
     cfg.val.sample_node = False
     cfg.val.sampler = "full_batch"
     cfg.val.node_per_graph = 32
+    # 'weighted' = size-weighted split accuracy (exact); 'batch' = the
+    # reference's mean-of-per-batch-accuracies (train.py:107) — parity
+    # runs use 'batch' so unequal last batches match the reference
+    cfg.val.accuracy_average = "weighted"
 
     # -------------------------------------------------- model
     cfg.model = CfgNode()

@@ -448,7 +448,7 @@ def split_dataset(graphs: List[HostGraph], cfg,
         splits = [[graphs[i] for i in part] for part in parts]
         for part in splits:
             for g in part:
-                _default_supervision(g, cfg)
+                _default_supervision(g, cfg, rng)
         return splits
 
     # transductive
@@ -528,10 +528,32 @@ def split_dataset(graphs: List[HostGraph], cfg,
     return splits
 
 
-def _default_supervision(g: HostGraph, cfg) -> None:
-    """Inductive splits supervise every node (node task)."""
+def _default_supervision(g: HostGraph, cfg,
+                         rng: Optional[np.random.Generator] = None
+                         ) -> None:
+    """Inductive splits supervise every node (node task) or every
+    undirected edge pair plus 1:1 sampled negatives (link task —
+    DeepSNAP's inductive link_pred 'all' edge_train_mode: message
+    edges = supervision positives = the full edge set)."""
     if cfg.dataset.task == "node" and "node_label_index" not in g:
         g["node_label_index"] = np.arange(g.num_nodes)
+    if cfg.dataset.task in ("link_pred", "edge") \
+            and "edge_label_index" not in g:
+        rng = rng or np.random.default_rng(cfg.seed)
+        s, r = g.senders, g.receivers
+        upper = s < r
+        pos = np.stack([s[upper], r[upper]], axis=0)
+        if pos.shape[1] == 0:   # directed-only storage; use all edges
+            pos = g.edge_index
+        num_neg = int(pos.shape[1]
+                      * cfg.dataset.edge_negative_sampling_ratio)
+        neg = negative_sampling(g.edge_index, g.num_nodes,
+                                max(num_neg, 1), rng)
+        g["edge_label_index"] = np.concatenate(
+            [pos, neg], axis=1).astype(np.int32)
+        g["edge_label"] = np.concatenate(
+            [np.ones(pos.shape[1]), np.zeros(neg.shape[1])]).astype(
+            np.int64)
 
 
 def _disjoint_split(pairs: np.ndarray, message_ratio: float, rng):

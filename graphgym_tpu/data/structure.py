@@ -87,6 +87,14 @@ def bfs_from_sources(g: HostGraph, sources: np.ndarray,
     n = g.num_nodes
     sources = np.asarray(sources, np.int64)
     s_count = len(sources)
+    if n * s_count > 1_000_000:
+        # large instances route through the threaded C++ BFS
+        from graphgym_tpu import native
+        out = native.multi_source_bfs(
+            g.senders, g.receivers, n, sources,
+            -1 if max_dist is None else max_dist)
+        if out is not None:
+            return out
     indptr, indices = g.csr()
     dist = np.full((s_count, n), -1, np.int32)
     dist[np.arange(s_count), sources] = 0

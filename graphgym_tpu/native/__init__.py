@@ -67,6 +67,8 @@ def load() -> Optional[ctypes.CDLL]:
                                       i64, i64, i64, i64, p_i32, p_f32,
                                       p_i32, p_i32]
         lib.betweenness.argtypes = [i64, p_i64, p_i32, i64, p_f64]
+        lib.multi_bfs.argtypes = [i64, p_i64, p_i32, i64, p_i64, i64,
+                                  i64, p_i32]
         _lib = lib
         return _lib
 
@@ -128,6 +130,25 @@ def betweenness_centrality(senders: np.ndarray, receivers: np.ndarray,
     threads = min(os.cpu_count() or 1, 8)
     lib.betweenness(n, indptr, np.ascontiguousarray(indices, np.int32),
                     threads, out)
+    return out
+
+
+def multi_source_bfs(senders: np.ndarray, receivers: np.ndarray,
+                     n: int, sources: np.ndarray,
+                     max_dist: int = -1) -> Optional[np.ndarray]:
+    """dist [S, N] int32 (-1 unreachable), threaded over sources;
+    None when the native lib is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    indptr, indices, _ = build_csr(np.asarray(senders, np.int32),
+                                   np.asarray(receivers, np.int32), n)
+    sources = np.ascontiguousarray(sources, np.int64)
+    out = np.empty((len(sources), n), np.int32)
+    threads = min(os.cpu_count() or 1, 8)
+    lib.multi_bfs(n, indptr, np.ascontiguousarray(indices, np.int32),
+                  len(sources), sources, max_dist, threads,
+                  out.reshape(-1))
     return out
 
 

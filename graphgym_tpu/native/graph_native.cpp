@@ -273,6 +273,44 @@ void pack_csr_fill(int64_t num_nodes, int64_t e,
     out_tiles[chunk_base] = (int32_t)(num_tiles - 1);
 }
 
+// Multi-source BFS: dist[si * n + v] = hop distance from sources[si]
+// to v (-1 unreachable), capped at max_dist when >= 0.  Threads over
+// sources.  Replaces the numpy frontier BFS for large graphs
+// (data/structure.py bfs_from_sources).
+void multi_bfs(int64_t n, const int64_t* indptr, const int32_t* indices,
+               int64_t num_sources, const int64_t* sources,
+               int64_t max_dist, int64_t num_threads, int32_t* out) {
+  int64_t nt = num_threads < 1 ? 1 : num_threads;
+  std::atomic<int64_t> next_src(0);
+  auto worker = [&]() {
+    std::vector<int32_t> order(n);
+    for (;;) {
+      int64_t si = next_src.fetch_add(1);
+      if (si >= num_sources) break;
+      int32_t* dist = out + si * n;
+      for (int64_t v = 0; v < n; ++v) dist[v] = -1;
+      int64_t s0 = sources[si];
+      dist[s0] = 0;
+      int64_t head = 0, tail = 0;
+      order[tail++] = (int32_t)s0;
+      while (head < tail) {
+        int32_t u = order[head++];
+        if (max_dist >= 0 && dist[u] >= max_dist) continue;
+        for (int64_t k = indptr[u]; k < indptr[u + 1]; ++k) {
+          int32_t v = indices[k];
+          if (dist[v] < 0) {
+            dist[v] = dist[u] + 1;
+            order[tail++] = v;
+          }
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int64_t t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
 // Brandes betweenness centrality (unweighted), multi-threaded over
 // sources.  Replaces the per-source Python BFS loops in
 // data/structure.py for large graphs (the reference calls

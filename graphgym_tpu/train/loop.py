@@ -257,8 +257,14 @@ class Trainer:
                     true=label_h, pred=score_h, loss=float(loss), lr=0,
                     time_used=time.time() - t0, params=self.cfg.params)
                 t0 = time.time()
-        # reference eval_epoch_Tfg averages per-batch accuracies
-        # (train.py:107); we weight by size for correctness
+        # cfg.val.accuracy_average: 'weighted' (default — size-weighted,
+        # exact over the split) or 'batch' (the reference's plain mean
+        # of per-batch accuracies, train.py:107 — parity runs set this
+        # so unequal last batches can't shift comparisons)
+        if getattr(self.cfg.val, "accuracy_average",
+                   "weighted") == "batch":
+            real = [a for a, c in zip(accs, counts) if c > 0]
+            return float(np.mean(real)) if real else 0.0
         total = max(sum(counts), 1)
         return float(sum(a * c for a, c in zip(accs, counts)) / total)
 

@@ -99,6 +99,76 @@ def _write_markdown(out_dir: str, rows) -> None:
                     f"{r['delta']} |\n")
 
 
+LINK_LAYERS = ["gcnconv", "sageconv", "gatconv", "ginconv",
+               "gcnidconv", "sageidconv", "gatidconv", "ginidconv"]
+
+
+def link_reference(layer: str, dataset: str, feature: str):
+    """Reference link-pred accuracy from analysis/idgnn.csv (the
+    original ID-GNN reproduction table)."""
+    import csv
+
+    path = f"{REF}/analysis/idgnn.csv"
+    if not os.path.exists(path):
+        return None, None
+    with open(path, encoding="utf-8-sig") as f:
+        for row in csv.DictReader(f):
+            if (row["task"] == "link_pred" and row["dataset"] == dataset
+                    and row["layer"] == layer
+                    and row["feature"] == feature):
+                return float(row["performance"]), float(row["std"])
+    return None, None
+
+
+def run_one_link(layer: str, dataset: str, feature: str, seed: int,
+                 epochs, out_root: str):
+    """One link-prediction parity cell per reference
+    run/grids/IDGNN/link.txt (ws/ba rows): base run/configs/IDGNN/
+    node.yaml + the grid's overrides.  idconv layers use transform
+    'edge' (reference link.txt:21), plain layers 'none' (link.txt:5)."""
+    from graphgym_tpu.config import assert_cfg, get_cfg
+    from graphgym_tpu.data.loaders import create_dataset, create_loader
+    from graphgym_tpu.nn.model import build_model
+    from graphgym_tpu.train.logger import create_logger, setup_printing
+    from graphgym_tpu.train.loop import Trainer
+    import jax
+    import random
+
+    plat = os.environ.get("GRAPHGYM_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+    cfg = get_cfg()
+    cfg.merge_from_file(f"{REF}/run/configs/IDGNN/node.yaml")
+    cfg.merge_from_dict({
+        "dataset": {"format": "nx", "name": dataset,
+                    "task": "link_pred",
+                    "transform": ("edge" if "id" in layer else "none"),
+                    "transductive": False,
+                    "augment_feature": ([feature] if feature else []),
+                    "augment_label": ""},
+        "gnn": {"layers_pre_mp": 1, "layers_mp": 5,
+                "layers_post_mp": 1, "layer_type": layer},
+        "optim": {"max_epoch": epochs or 100},
+        "val": {"accuracy_average": "batch"},
+        "train": {"batch_size": 32}})
+    cfg.seed = seed
+    name = f"link_{layer}_{dataset}" + ("_id" if feature else "")
+    cfg.out_dir = os.path.join(out_root, name, str(seed))
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    assert_cfg(cfg)
+    random.seed(seed)
+    np.random.seed(seed)
+    setup_printing("file", cfg.out_dir)
+    splits = create_dataset(cfg)
+    loaders = create_loader(splits, cfg)
+    model = build_model(cfg)
+    loggers = create_logger(cfg, len(loaders))
+    trainer = Trainer(model, loaders, cfg, rng=jax.random.PRNGKey(seed))
+    result = trainer.run(loggers)
+    return result["best_val_acc"]
+
+
 def run_one(model_key: str, dataset: str, seed: int, epochs,
             out_root: str):
     from graphgym_tpu.config import assert_cfg, get_cfg
@@ -125,6 +195,8 @@ def run_one(model_key: str, dataset: str, seed: int, epochs,
     # the reference Tfg path trains with plain constant-LR Adam
     # (main_zd.py:311) — no scheduler
     cfg.optim.scheduler = "none"
+    # match the reference's eval averaging exactly (train.py:107)
+    cfg.val.accuracy_average = "batch"
     if epochs:
         cfg.optim.max_epoch = epochs
     cfg.seed = seed
@@ -183,7 +255,104 @@ def main():
                    help="internal: run one training in-process")
     p.add_argument("--refresh", action="store_true",
                    help="re-resolve reference values in parity.json")
+    p.add_argument("--link", action="store_true",
+                   help="run the link-prediction parity sweep "
+                        "(reference run/grids/IDGNN/link.txt ws/ba vs "
+                        "analysis/idgnn.csv)")
+    p.add_argument("--layers", nargs="+", default=LINK_LAYERS,
+                   help="link mode: layer subset")
+    p.add_argument("--single-link", nargs=4,
+                   metavar=("LAYER", "DS", "FEATURE", "SEED"),
+                   help="internal: one link-pred run in-process")
     args = p.parse_args()
+
+    if args.single_link:
+        layer, ds, feature, seed = args.single_link
+        feature = "" if feature == "-" else feature
+        acc = run_one_link(layer, ds, feature, int(seed), args.epochs,
+                           args.out)
+        if acc is not None:
+            print(f"SINGLE_RESULT {acc}", flush=True)
+        return
+
+    if args.link:
+        import subprocess
+        path = os.path.join(args.out, "link_parity.json")
+        rows = []
+        if os.path.exists(path):
+            with open(path) as f:
+                rows = json.load(f)
+        done = {(r["layer"], r["dataset"], r["feature"]) for r in rows
+                if r.get("seeds", 0) >= args.repeat}
+        cells = [(ly, ds, ft) for ly in args.layers
+                 for ds in ("ws", "ba")
+                 for ft in (("",) if "id" in ly
+                            else ("", "node_identity"))]
+        for layer, ds, feature in cells:
+            if (layer, ds, feature) in done:
+                print(f"skip link {layer}/{ds}/{feature or '-'}",
+                      flush=True)
+                continue
+            accs = []
+            for i in range(args.repeat):
+                t0 = time.time()
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       "--single-link", layer, ds, feature or "-",
+                       str(i + 1), "--epochs", str(args.epochs),
+                       "--out", args.out]
+                try:
+                    proc = subprocess.run(cmd, capture_output=True,
+                                          text=True, timeout=4000)
+                except subprocess.TimeoutExpired:
+                    print(f"TIMEOUT link {layer}/{ds}", flush=True)
+                    break
+                acc = None
+                for line in proc.stdout.splitlines():
+                    if line.startswith("SINGLE_RESULT "):
+                        acc = float(line.split()[1])
+                if acc is None:
+                    print(f"FAILED link {layer}/{ds}: "
+                          f"{proc.stdout[-200:]} {proc.stderr[-200:]}",
+                          flush=True)
+                    break
+                accs.append(acc)
+                print(f"link {layer}/{ds}/{feature or '-'} seed "
+                      f"{i+1}: acc={acc:.4f} ({time.time()-t0:.0f}s)",
+                      flush=True)
+            if not accs:
+                continue
+            ref, ref_std = link_reference(layer, ds, feature)
+            rows = [r for r in rows
+                    if (r["layer"], r["dataset"], r["feature"])
+                    != (layer, ds, feature)]
+            ours = round(float(np.mean(accs)), 4)
+            rows.append({
+                "layer": layer, "dataset": ds, "feature": feature,
+                "ours": ours,
+                "ours_std": round(float(np.std(accs)), 4),
+                "reference": ref, "reference_std": ref_std,
+                "delta": (round(ours - ref, 4)
+                          if ref is not None else None),
+                "pass_2sigma": (abs(ours - ref) <= max(2 * ref_std,
+                                                       0.03)
+                                if ref is not None else None),
+                "seeds": len(accs),
+            })
+            os.makedirs(args.out, exist_ok=True)
+            with open(path, "w") as f:
+                json.dump(rows, f, indent=1)
+        with open(os.path.join(args.out, "LINK_PARITY.md"), "w") as f:
+            f.write("| layer | dataset | feature | ours | reference "
+                    "(±σ) | delta | ≤2σ |\n|---|---|---|---|---|---|"
+                    "---|\n")
+            for r in rows:
+                f.write(f"| {r['layer']} | {r['dataset']} | "
+                        f"{r['feature'] or '-'} | {r['ours']}"
+                        f"±{r['ours_std']} | {r['reference']}"
+                        f"±{r['reference_std']} | {r['delta']} | "
+                        f"{r['pass_2sigma']} |\n")
+        print(json.dumps(rows, indent=1))
+        return
 
     if args.refresh:
         refresh_references(args.out)
