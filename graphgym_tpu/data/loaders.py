@@ -61,10 +61,37 @@ def _find_raw(fname: str, dataset_dir: str, subname: str) -> str:
     raise FileNotFoundError(f"{fname} not found under {dataset_dir}")
 
 
+# Synthetic corpora we can regenerate from scratch when the shipped
+# pickle is absent (bare-checkout support): name -> (generator kind, n).
+# scalefree/smallworld are the ID-GNN paper's names for the ba/ws
+# corpus families (reference datasets/syn_graph.py:25-87 generates only
+# those two processes).
+_REGENERABLE = {
+    "ba": ("ba", 64), "ws": ("ws", 64),
+    "scalefree": ("ba", 64), "smallworld": ("ws", 64),
+    "ba500": ("ba", 500), "ws500": ("ws", 500),
+}
+
+
 def load_nx(name: str, dataset_dir: str) -> List[HostGraph]:
     """Pickled networkx graph lists (reference load_nx,
-    loader.py:78-92)."""
+    loader.py:78-92).  Known synthetic corpora are regenerated (and
+    cached to dataset_dir) when no pickle exists anywhere, so a bare
+    checkout can run the full synthetic config library."""
     path = _find_file(f"{name}.pkl", dataset_dir)
+    if path is None and name in _REGENERABLE:
+        from graphgym_tpu.data.synthetic import (generate_syn_graphs,
+                                                 save_syn)
+        kind, n = _REGENERABLE[name]
+        logging.warning(
+            "%s.pkl not found; regenerating the %s synthetic corpus "
+            "(structurally equivalent to the shipped pickle, not "
+            "graph-identical)", name, kind)
+        graphs = generate_syn_graphs(kind=kind, num_graphs=256, n=n)
+        os.makedirs(dataset_dir, exist_ok=True)
+        path = os.path.join(dataset_dir, f"{name}.pkl")
+        save_syn(path, graphs)
+        return graphs
     if path is None:
         raise FileNotFoundError(
             f"{name}.pkl not found under {dataset_dir} or {_SEARCH_DIRS}")
@@ -72,7 +99,9 @@ def load_nx(name: str, dataset_dir: str) -> List[HostGraph]:
         graphs = pickle.load(f)
     if not isinstance(graphs, list):
         graphs = [graphs]
-    return [from_networkx(g) for g in graphs]
+    # regenerated caches hold HostGraphs already; shipped pickles hold nx
+    return [g if isinstance(g, HostGraph) else from_networkx(g)
+            for g in graphs]
 
 
 def load_planetoid(name: str, dataset_dir: str) -> List[HostGraph]:
