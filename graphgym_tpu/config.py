@@ -289,6 +289,8 @@ def set_cfg(cfg: CfgNode) -> CfgNode:
     #       only (O(boundary) comm; the north-star layout).
     cfg.tpu.partition = "replicated"
     cfg.tpu.donate_state = True
+    cfg.tpu.prefetch = True          # overlap next-epoch host collation
+                                     # with device execution (1 worker)
     cfg.tpu.profile = False          # jax.profiler trace into out_dir
     cfg.tpu.profile_epochs = 3       # epochs to capture when profiling
     cfg.tpu.remat = False            # jax.checkpoint each MP layer

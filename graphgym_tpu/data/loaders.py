@@ -1054,14 +1054,12 @@ def _pad1(x, n, fill):
 
 def _repad_index(batch: GraphBatch, key: str, mask_key: str,
                  target: int) -> GraphBatch:
-    import jax.numpy as jnp
     idx = np.asarray(getattr(batch, key))
     mask = np.asarray(getattr(batch, mask_key))
     pad_node = batch.num_nodes - 1
     idx = _pad1(idx, target, pad_node)
     mask = _pad1(mask, target, False)
-    return batch.replace(**{key: jnp.asarray(idx),
-                            mask_key: jnp.asarray(mask)})
+    return batch.replace(**{key: idx, mask_key: mask})
 
 
 class SamplerLoader(GraphLoader):

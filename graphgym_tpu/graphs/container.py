@@ -106,10 +106,16 @@ class GraphBatch:
     def padding_node(self) -> int:
         return self.num_nodes - 1
 
-    def count_real_nodes(self) -> jnp.ndarray:
+    def count_real_nodes(self):
+        # np.sum works for both host (numpy) and device leaves and
+        # avoids a device dispatch when called on host batches
+        if isinstance(self.node_mask, np.ndarray):
+            return np.sum(self.node_mask.astype(np.int32))
         return jnp.sum(self.node_mask.astype(jnp.int32))
 
-    def count_real_edges(self) -> jnp.ndarray:
+    def count_real_edges(self):
+        if isinstance(self.edge_mask, np.ndarray):
+            return np.sum(self.edge_mask.astype(np.int32))
         return jnp.sum(self.edge_mask.astype(jnp.int32))
 
     def replace(self, **kw) -> "GraphBatch":
@@ -170,13 +176,13 @@ def permute_nodes(batch: GraphBatch, new_id: np.ndarray) -> GraphBatch:
         a = np.asarray(a)
         out = np.empty_like(a)
         out[new_id] = a
-        return jnp.asarray(out)
+        return out
 
     def remap(a):
         if a is None:
             return None
         a = np.asarray(a)
-        return jnp.asarray(new_id[a].astype(a.dtype))
+        return new_id[a].astype(a.dtype)
 
     kw = dict(
         senders=remap(batch.senders),
@@ -306,16 +312,18 @@ def build_graph_batch(
         kw["node_id_index"] = pad_to(ii, i_pad, pad_node)
         kw["id_mask"] = pad_to(np.ones((len(ii),), bool), i_pad, False)
 
+    # Leaves stay NUMPY on the host: one bulk jax.device_put per batch
+    # (Trainer._place) replaces a per-field host->device dispatch storm
+    # — critical when device dispatch latency is high (remote TPU).
     return GraphBatch(
-        senders=jnp.asarray(senders),
-        receivers=jnp.asarray(receivers),
-        edge_weight=jnp.asarray(edge_weight),
-        node_feat=jnp.asarray(node_feat),
-        node_mask=jnp.asarray(node_mask),
-        edge_mask=jnp.asarray(edge_mask),
-        edge_feat=None if edge_feat is None else jnp.asarray(edge_feat),
-        graph_ids=jnp.asarray(graph_ids),
+        senders=senders,
+        receivers=receivers,
+        edge_weight=edge_weight,
+        node_feat=node_feat,
+        node_mask=node_mask,
+        edge_mask=edge_mask,
+        edge_feat=edge_feat,
+        graph_ids=graph_ids,
         num_graphs=num_graphs,
-        **{k: (jnp.asarray(v) if v is not None else None)
-           for k, v in kw.items()},
+        **kw,
     )

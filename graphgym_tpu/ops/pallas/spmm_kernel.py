@@ -45,7 +45,7 @@ EDGE_GROUP = 1          # G: slots pre-reduced on the VPU per MXU row
 
 
 class PackedCSR(NamedTuple):
-    """Chunked, receiver-sorted edge layout (host-built, device arrays).
+    """Chunked, receiver-sorted edge layout (host-built).
 
     senders    [NC, C] int32 — gather indices (padding -> num_nodes slot)
     weights    [NC, C] f32   — edge weights (0 on padding)
@@ -53,8 +53,13 @@ class PackedCSR(NamedTuple):
     tiles      [NC]    int32 — output tile index of each chunk (ascending)
 
     All fields are arrays (a clean jit-traversable pytree); the tile
-    count is derived from the static num_nodes at call sites.
-    """
+    count is derived from the static num_nodes at call sites.  Host-side
+    construction keeps them as NUMPY arrays — packs ride into jit as
+    batch-pytree leaves and are transferred in one bulk device_put per
+    batch; building them as device arrays would issue one small host->
+    device dispatch per field, which dominates wall-clock on
+    high-latency device links (measured ~0.2 s per dispatch over a
+    remote-TPU tunnel)."""
     senders: jnp.ndarray
     weights: jnp.ndarray
     local_rows: jnp.ndarray
@@ -104,8 +109,7 @@ def pack_csr(senders: np.ndarray, receivers: np.ndarray,
                 [out_l, np.zeros((extra, C), np.int32)])
             out_t = np.concatenate(
                 [out_t, np.full(extra, num_tiles - 1, np.int32)])
-        return PackedCSR(jnp.asarray(out_s), jnp.asarray(out_w),
-                         jnp.asarray(out_l), jnp.asarray(out_t))
+        return PackedCSR(out_s, out_w, out_l, out_t)
 
     # numpy fallback: fully vectorized slot assignment.  Sort edges by
     # (receiver, sender) — sender order within a row is free (same
@@ -167,28 +171,29 @@ def pack_csr(senders: np.ndarray, receivers: np.ndarray,
         # padding chunks re-target the last tile with zero weight
         out_t = np.concatenate(
             [out_t, np.full(extra, num_tiles - 1, np.int32)])
-    return PackedCSR(jnp.asarray(out_s), jnp.asarray(out_w),
-                     jnp.asarray(out_l), jnp.asarray(out_t))
+    return PackedCSR(out_s, out_w, out_l, out_t)
 
 
 def pad_pack(pack: PackedCSR, pad_chunks_to: int, num_nodes: int,
              rows_per_tile: int = ROWS_PER_TILE) -> PackedCSR:
     """Pad an existing pack with no-op chunks (zero weight, last tile)
-    up to a common chunk count — shard-uniform shapes without repacking."""
+    up to a common chunk count — shard-uniform shapes without repacking.
+    Pure numpy (see PackedCSR docstring on host-side construction)."""
     nc, c = pack.senders.shape
     if pad_chunks_to <= nc:
         return pack
     extra = pad_chunks_to - nc
     num_tiles = (num_nodes + rows_per_tile - 1) // rows_per_tile
+    cat = np.concatenate
     return PackedCSR(
-        jnp.concatenate([pack.senders,
-                         jnp.full((extra, c), num_nodes, jnp.int32)]),
-        jnp.concatenate([pack.weights,
-                         jnp.zeros((extra, c), jnp.float32)]),
-        jnp.concatenate([pack.local_rows,
-                         jnp.zeros((extra, c), jnp.int32)]),
-        jnp.concatenate([pack.tiles,
-                         jnp.full((extra,), num_tiles - 1, jnp.int32)]))
+        cat([np.asarray(pack.senders),
+             np.full((extra, c), num_nodes, np.int32)]),
+        cat([np.asarray(pack.weights),
+             np.zeros((extra, c), np.float32)]),
+        cat([np.asarray(pack.local_rows),
+             np.zeros((extra, c), np.int32)]),
+        cat([np.asarray(pack.tiles),
+             np.full((extra,), num_tiles - 1, np.int32)]))
 
 
 def _accumulate(onehot, msgw, acc_ref):
@@ -527,8 +532,8 @@ def pack_bidir(senders: np.ndarray, receivers: np.ndarray,
                ) -> BidirPack:
     fwd = pack_csr(senders, receivers, weights, num_nodes)
     bwd = pack_csr(receivers, senders, weights, num_nodes)
-    return BidirPack(fwd, bwd, jnp.asarray(np.asarray(senders, np.int32)),
-                     jnp.asarray(np.asarray(receivers, np.int32)))
+    return BidirPack(fwd, bwd, np.asarray(senders, np.int32),
+                     np.asarray(receivers, np.int32))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2))

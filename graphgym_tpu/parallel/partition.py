@@ -262,16 +262,18 @@ def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
         nc_max = max(p.senders.shape[0] for p in packs)
         packs = [pad_pack(p, nc_max, n_loc) for p in packs]
         kw = dict(
-            pack_senders=jnp.stack([p.senders for p in packs]),
-            pack_weights=jnp.stack([p.weights for p in packs]),
-            pack_local=jnp.stack([p.local_rows for p in packs]),
-            pack_tiles=jnp.stack([p.tiles for p in packs]))
+            pack_senders=np.stack([p.senders for p in packs]),
+            pack_weights=np.stack([p.weights for p in packs]),
+            pack_local=np.stack([p.local_rows for p in packs]),
+            pack_tiles=np.stack([p.tiles for p in packs]))
+    # numpy leaves: plans travel as batch-pytree fields and are placed
+    # on devices in one bulk transfer (mesh.shard_batch)
     return EdgePartitionPlan(
-        senders_ext=jnp.asarray(senders_ext),
-        receivers_loc=jnp.asarray(receivers_loc),
-        edge_weight=jnp.asarray(w_out),
-        send_idx=jnp.asarray(send_idx),
-        halo_counts=jnp.asarray(halo_counts),
+        senders_ext=senders_ext,
+        receivers_loc=receivers_loc,
+        edge_weight=w_out,
+        send_idx=send_idx,
+        halo_counts=halo_counts,
         n_local=n_loc, num_shards=num_shards, **kw)
 
 

@@ -192,20 +192,27 @@ class Trainer:
         self.eval_step = make_eval_step(model, self.loss_opts,
                                         compute_dtype=compute_dtype)
 
-    # ------------------------------------------------------- multi-chip
+    # ------------------------------------------------------- placement
     def _place(self, batch):
-        """Shard a batch onto the mesh (memoized per loader-cached
-        batch object so static loaders transfer once)."""
-        if self.mesh is None:
-            return batch
+        """Move a host (numpy-leaf) batch onto the device(s), memoized
+        per loader-cached batch object so static loaders transfer once.
+
+        Single-device: one bulk jax.device_put of the whole pytree —
+        the loaders deliberately emit numpy leaves so the transfer is a
+        single call instead of a per-field dispatch storm (dispatch
+        latency dominates on remote-TPU links).  Multi-chip: shard per
+        cfg.tpu.partition."""
         key = id(batch)
         hit = self._shard_cache.get(key)
         if hit is not None and hit[0] is batch:
             return hit[1]
-        from graphgym_tpu.parallel.mesh import shard_batch
+        if self.mesh is None:
+            placed = jax.device_put(batch)
+        else:
+            from graphgym_tpu.parallel.mesh import shard_batch
 
-        placed = shard_batch(batch, self.mesh,
-                             layout=self.cfg.tpu.partition)
+            placed = shard_batch(batch, self.mesh,
+                                 layout=self.cfg.tpu.partition)
         if len(self._shard_cache) > 64:   # resampling loaders: bound it
             self._shard_cache.clear()
         self._shard_cache[key] = (batch, placed)
@@ -217,9 +224,10 @@ class Trainer:
         return use_mesh(self.mesh)
 
     # ------------------------------------------------------------ epochs
-    def train_epoch(self, logger: Logger, epoch: int):
+    def train_epoch(self, logger: Logger, epoch: int, batches=None):
         t0 = time.time()
-        for batch in self.loaders[0].batches(epoch):
+        for batch in (batches if batches is not None
+                      else self.loaders[0].batches(epoch)):
             self.rng, step_rng = jax.random.split(self.rng)
             with self._use_mesh():
                 self.state, loss, score, label, mask = self.train_step(
@@ -316,13 +324,35 @@ class Trainer:
         edges_per_epoch = sum(
             int(b.count_real_edges())
             for b in self.loaders[0].batches(0))
+        # Host-side epoch prefetch: collation (numpy packing, padding,
+        # kernel-pack building) for epoch e+1 runs on a worker thread
+        # while the device executes epoch e.  Shuffled multi-batch
+        # loaders re-collate every epoch (reference DataLoader
+        # semantics, loader.py:247-251) — without overlap that host
+        # work serializes with the device.  A single worker preserves
+        # the loader's RNG draw order, so results are bit-identical to
+        # the serial schedule.
+        prefetch = None
+        fut, fut_epoch = None, -1
+        if getattr(cfg.tpu, "prefetch", True) \
+                and cfg.optim.max_epoch - start_epoch > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            prefetch = ThreadPoolExecutor(max_workers=1)
         for epoch in range(start_epoch, cfg.optim.max_epoch):
             if profiling and epoch - start_epoch == cfg.tpu.profile_epochs:
                 jax.profiler.stop_trace()
                 profiling = False
             t_ep = time.time()
+            if fut is not None and fut_epoch == epoch:
+                batches = fut.result()
+            else:
+                batches = self.loaders[0].batches(epoch)
+            if prefetch is not None and epoch + 1 < cfg.optim.max_epoch:
+                fut = prefetch.submit(self.loaders[0].batches, epoch + 1)
+                fut_epoch = epoch + 1
             self.train_epoch(loggers[0] if loggers else Logger("train"),
-                             epoch)
+                             epoch, batches=batches)
             dt_ep = time.time() - t_ep
             if epoch == start_epoch or (loggers and epoch % 50 == 0):
                 logging.info("epoch %d: %.3fs, %.0f edges/s", epoch,
@@ -345,6 +375,8 @@ class Trainer:
             if ckpt.is_ckpt_epoch(epoch, cfg.train.ckpt_period,
                                   cfg.optim.max_epoch):
                 ckpt.save_ckpt(self.state, cfg.out_dir, epoch)
+        if prefetch is not None:
+            prefetch.shutdown(wait=False)
         if profiling:
             jax.profiler.stop_trace()
         if cfg.view_emb:
