@@ -44,6 +44,14 @@ def bench_spmm(num_nodes=131072, num_edges=2_000_000, dim=128,
 
     s, r, w, x = make_graph(num_nodes, num_edges, dim)
 
+    # Measurement methodology (round 3): each iteration feeds the
+    # previous gradient back in (same [N, D] shape), so iterations form
+    # a true dependency chain, and completion is forced with a host
+    # fetch.  The round-1/2 pattern (same input every iteration +
+    # block_until_ready) measured nonsense on execution-caching device
+    # transports (identical pure executions can be elided — observed
+    # 36.9e9 "edges/s" on the remote-TPU tunnel); chained inputs make
+    # every iteration distinct and serialized.
     if impl == "pallas":
         from graphgym_tpu.ops.pallas import spmm_kernel as K
         pack = K.pack_bidir(s, r, w, num_nodes)
@@ -55,11 +63,12 @@ def bench_spmm(num_nodes=131072, num_edges=2_000_000, dim=128,
 
         step = jax.jit(jax.grad(loss))
         gx = step(xj)
-        jax.block_until_ready(gx)
+        np.asarray(gx)
         t0 = time.perf_counter()
+        g = gx
         for _ in range(iters):
-            gx = step(xj)
-        jax.block_until_ready(gx)
+            g = step(g)
+        np.asarray(g[:1])
         return num_edges * iters / (time.perf_counter() - t0)
 
     from graphgym_tpu.ops import sparse as sp
@@ -74,11 +83,12 @@ def bench_spmm(num_nodes=131072, num_edges=2_000_000, dim=128,
 
     step = jax.jit(jax.grad(loss))
     gx = step(x)
-    jax.block_until_ready(gx)
+    np.asarray(gx)
     t0 = time.perf_counter()
+    g = gx
     for _ in range(iters):
-        gx = step(x)
-    jax.block_until_ready(gx)
+        g = step(g)
+    np.asarray(g[:1])
     dt = time.perf_counter() - t0
     return num_edges * iters / dt
 
@@ -156,10 +166,14 @@ def bench_attention(num_nodes=131072, num_edges=2_000_000, heads=8,
     step = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
     g = step(h, s_dst, s_src)
     jax.block_until_ready(g)
+    # chain the value-gradient back into h (same shape) so iterations
+    # are distinct and serialized (see bench_spmm methodology note)
     t0 = time.perf_counter()
+    hh = h
     for _ in range(iters):
-        g = step(h, s_dst, s_src)
-    jax.block_until_ready(g)
+        gh, gd, gs = step(hh, s_dst, s_src)
+        hh = gh
+    np.asarray(hh[:1])
     # att pack includes self-loops
     return (num_edges + num_nodes) * iters / (time.perf_counter() - t0)
 

@@ -92,17 +92,14 @@ def packed_attention(graph: GraphBatch, h_heads: jnp.ndarray,
     mesh = _active_mesh()
     if mesh is not None and graph.plans is not None \
             and "att" in graph.plans:
-        if dropout_rate > 0.0:
-            # partitioned attention has no coefficient-dropout path yet;
-            # fall back to the (GSPMD-sharded) XLA formulation
-            return None
         from graphgym_tpu.parallel.partition import partitioned_attention
         return partitioned_attention(
             graph.plans["att"], h_heads,
             keys if keys is not None else h_heads,
             values if values is not None else h_heads, mesh,
             score_fn=score_fn, axis=mesh.axis_names[0],
-            node_scores=node_scores, score_transform=score_transform)
+            node_scores=node_scores, score_transform=score_transform,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng)
     if graph.packs is None or "att" not in graph.packs:
         return None
     from graphgym_tpu.ops.pallas.spmm_kernel import (

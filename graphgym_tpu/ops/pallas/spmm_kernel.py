@@ -39,9 +39,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS_PER_TILE = 256     # R: output rows per tile
-EDGES_PER_CHUNK = 512   # C: edges per chunk
+ROWS_PER_TILE = 128     # R: output rows per tile
+EDGES_PER_CHUNK = 1024  # C: edges per chunk
 EDGE_GROUP = 1          # G: slots pre-reduced on the VPU per MXU row
+# (R, C) retuned round 3: with the weight multiply in-kernel the MXU
+# contraction (total work E*R*D*2passes) dominates, so halving R halves
+# MXU work — R=128 keeps full lane occupancy in the one-hot operand and
+# measured ~2.4x over R=256 fwd+bwd; C=1024 halves per-chunk grid
+# overhead at equal FLOPs (docs/KERNELS.md round-3 notes).
 
 
 class PackedCSR(NamedTuple):
@@ -299,142 +304,6 @@ def _kernel_weighted(tiles_ref, local_ref, w_ref, msg_ref, out_ref,
     @pl.when(last)
     def _():
         out_ref[...] = acc_ref[...].astype(out_dtype)
-
-
-def _stream_kernel(tiles_ref, local_hbm, w_hbm, msg_hbm, out_hbm,
-                   loc_buf, w_buf, msg_buf, acc, in_sems, out_sems, *,
-                   rows_per_tile, num_tiles, group, weighted):
-    """Manually pipelined variant: one grid step, fori_loop over chunks
-    with double-buffered HBM->VMEM input DMAs and per-tile VMEM->HBM
-    output DMAs.  Removes the per-grid-step scheduling overhead that
-    dominates the blocked kernel (~0.6 us/chunk measured) and lets
-    Mosaic overlap chunk i's MXU with chunk i+1's DMA."""
-    nc = msg_hbm.shape[0]
-    R = rows_per_tile
-
-    def issue(i, slot):
-        pltpu.make_async_copy(msg_hbm.at[i], msg_buf.at[slot],
-                              in_sems.at[slot, 0]).start()
-        pltpu.make_async_copy(local_hbm.at[i], loc_buf.at[slot],
-                              in_sems.at[slot, 1]).start()
-        if weighted:
-            pltpu.make_async_copy(w_hbm.at[i], w_buf.at[slot],
-                                  in_sems.at[slot, 2]).start()
-
-    def wait_in(i, slot):
-        pltpu.make_async_copy(msg_hbm.at[i], msg_buf.at[slot],
-                              in_sems.at[slot, 0]).wait()
-        pltpu.make_async_copy(local_hbm.at[i], loc_buf.at[slot],
-                              in_sems.at[slot, 1]).wait()
-        if weighted:
-            pltpu.make_async_copy(w_hbm.at[i], w_buf.at[slot],
-                                  in_sems.at[slot, 2]).wait()
-
-    issue(0, 0)
-
-    def body(i, _):
-        slot = jax.lax.rem(i, 2)
-        tile = tiles_ref[i]
-        aslot = jax.lax.rem(tile, 2)
-
-        @pl.when(i + 1 < nc)
-        def _():
-            issue(i + 1, jax.lax.rem(i + 1, 2))
-
-        wait_in(i, slot)
-
-        first = jnp.logical_or(i == 0, tile != tiles_ref[i - 1])
-        last = jnp.logical_or(i == nc - 1, tile != tiles_ref[i + 1])
-
-        @pl.when(first)
-        def _():
-            # the flush of tile-2 used this acc slot; it has completed
-            # by construction (its DMA was started >= one tile ago and
-            # we wait on its semaphore before zeroing)
-            @pl.when(tile >= 2)
-            def _():
-                pltpu.make_async_copy(
-                    acc.at[aslot],
-                    out_hbm.at[pl.ds((tile - 2) * R, R)],
-                    out_sems.at[aslot]).wait()
-            acc[aslot] = jnp.zeros_like(acc[aslot])
-
-        msg = msg_buf[slot]
-        if weighted:
-            msgw = msg.astype(jnp.float32) * w_buf[slot].astype(
-                jnp.float32)
-        else:
-            msgw = msg.astype(jnp.float32)
-        msgw, local = _group_reduce(msgw, loc_buf[slot], group)
-        if msg.dtype == jnp.bfloat16:
-            msgw = msgw.astype(jnp.bfloat16)
-        _accumulate(_onehot(local, R), msgw,
-                    acc.at[aslot])
-
-        @pl.when(last)
-        def _():
-            pltpu.make_async_copy(
-                acc.at[aslot], out_hbm.at[pl.ds(tile * R, R)],
-                out_sems.at[aslot]).start()
-
-        return 0
-
-    jax.lax.fori_loop(0, nc, body, 0)
-    # drain the final one or two tile flushes
-    pltpu.make_async_copy(
-        acc.at[(num_tiles - 1) % 2],
-        out_hbm.at[pl.ds((num_tiles - 1) * R, R)],
-        out_sems.at[(num_tiles - 1) % 2]).wait()
-    if num_tiles > 1:
-        pltpu.make_async_copy(
-            acc.at[(num_tiles - 2) % 2],
-            out_hbm.at[pl.ds((num_tiles - 2) * R, R)],
-            out_sems.at[(num_tiles - 2) % 2]).wait()
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "num_tiles", "rows_per_tile", "group"))
-def packed_segment_matmul_stream(msg: jnp.ndarray,
-                                 local_rows: jnp.ndarray,
-                                 tiles: jnp.ndarray, num_tiles: int,
-                                 weights: Optional[jnp.ndarray] = None,
-                                 rows_per_tile: int = ROWS_PER_TILE,
-                                 group: int = 1) -> jnp.ndarray:
-    """Streaming (manual-DMA) packed segmented matmul — TPU only;
-    interpret-mode/CPU callers use packed_segment_matmul."""
-    nc, c, d = msg.shape
-    R = rows_per_tile
-    tiles = jnp.concatenate([tiles, tiles[-1:]])
-    weighted = weights is not None
-    if not weighted:
-        weights = jnp.ones((nc, c), jnp.float32)
-    kernel = functools.partial(
-        _stream_kernel, rows_per_tile=R, num_tiles=num_tiles,
-        group=group, weighted=weighted)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # locals
-            pl.BlockSpec(memory_space=pltpu.ANY),   # weights
-            pl.BlockSpec(memory_space=pltpu.ANY),   # msg
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, c, 1), jnp.int32),
-            pltpu.VMEM((2, c, 1), jnp.float32),
-            pltpu.VMEM((2, c, d), msg.dtype),
-            pltpu.VMEM((2, R, d), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles * R, d), jnp.float32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tiles, local_rows[..., None], weights[..., None], msg)
 
 
 @functools.partial(jax.jit, static_argnames=(

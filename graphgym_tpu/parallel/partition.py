@@ -346,10 +346,21 @@ def partitioned_spmm(plan: EdgePartitionPlan, x: jnp.ndarray,
                    plan.edge_weight, plan.send_idx)
 
 
+def _coeff_dropout(alpha, rng, rate, axis):
+    """Attention-coefficient dropout inside the shard_map body: the
+    mask is a per-shard [E_loc, H] scalar draw (same trick as the
+    single-chip packed path, nn/layers.py packed_attention); folding
+    the axis index into the key makes shards independent."""
+    rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+    keep = jax.random.bernoulli(rng, 1.0 - rate, alpha.shape)
+    return jnp.where(keep, alpha / (1.0 - rate), 0.0)
+
+
 def partitioned_attention(plan: EdgePartitionPlan, q: jnp.ndarray,
                           k: jnp.ndarray, v: jnp.ndarray, mesh: Mesh,
                           score_fn=None, axis: str = "edge",
-                          node_scores=None, score_transform=None
+                          node_scores=None, score_transform=None,
+                          dropout_rate: float = 0.0, dropout_rng=None
                           ) -> jnp.ndarray:
     """Edge-softmax attention over the partition (the distributed GAT
     path).  Because edges are owned by their *receiver's* chip, every
@@ -369,17 +380,22 @@ def partitioned_attention(plan: EdgePartitionPlan, q: jnp.ndarray,
     n_loc = plan.n_local
     H = v.shape[1]
     dv = v.shape[-1]
+    if dropout_rate > 0.0 and dropout_rng is None:
+        dropout_rate = 0.0
     if node_scores is not None:
         return _partitioned_attention_nodescores(
-            plan, node_scores, score_transform, v, mesh, axis)
+            plan, node_scores, score_transform, v, mesh, axis,
+            dropout_rate, dropout_rng)
     dh = q.shape[2]
     if score_fn is None:
         def score_fn(q_e, k_e):
             return jnp.sum(q_e * k_e, axis=-1) / jnp.sqrt(
                 jnp.asarray(dh, q.dtype))
+    if dropout_rng is None:
+        dropout_rng = jax.random.PRNGKey(0)
 
     def local_fn(q_loc, k_loc, v_loc, senders_ext, receivers_loc, w,
-                 send_idx):
+                 send_idx, rng):
         q_loc = q_loc.reshape(n_loc, H, dh)
         k_loc = k_loc.reshape(n_loc, H, dh)
         v_loc = v_loc.reshape(n_loc, H, dv)
@@ -404,6 +420,8 @@ def partitioned_attention(plan: EdgePartitionPlan, q: jnp.ndarray,
         valid = (w != 0)[:, None] & jnp.ones_like(alpha, bool)
         alpha = S.segment_softmax(alpha, receivers_loc, n_loc,
                                   mask=valid)
+        if dropout_rate > 0.0:
+            alpha = _coeff_dropout(alpha, rng, dropout_rate, axis)
         msg = jnp.take(v_ext, senders_ext, axis=0) * alpha[..., None]
         return S.segment_sum(msg, receivers_loc, n_loc)
 
@@ -415,16 +433,18 @@ def partitioned_attention(plan: EdgePartitionPlan, q: jnp.ndarray,
     sharded = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis)),
+                  P(axis), P()),
         out_specs=P(axis))
     return sharded(q, k, v, plan.senders_ext, plan.receivers_loc,
-                   plan.edge_weight, plan.send_idx)
+                   plan.edge_weight, plan.send_idx, dropout_rng)
 
 
 def _partitioned_attention_nodescores(plan: EdgePartitionPlan,
                                       node_scores, score_transform,
                                       v: jnp.ndarray, mesh: Mesh,
-                                      axis: str) -> jnp.ndarray:
+                                      axis: str,
+                                      dropout_rate: float = 0.0,
+                                      dropout_rng=None) -> jnp.ndarray:
     """Additive-attention fast path: the per-edge score is
     s_dst[receiver] + s_src[sender], so only [*, H] scalars (s_src) and
     the values cross chips — the [E, H, d] query/key vector gathers of
@@ -435,9 +455,11 @@ def _partitioned_attention_nodescores(plan: EdgePartitionPlan,
     s_dst, s_src = node_scores
     H = v.shape[1]
     dv = v.shape[-1]
+    if dropout_rng is None:
+        dropout_rng = jax.random.PRNGKey(0)
 
     def local_fn(sd_loc, ss_loc, v_loc, senders_ext, receivers_loc, w,
-                 send_idx):
+                 send_idx, rng):
         sd_loc = sd_loc.reshape(n_loc, H)
         ss_loc = ss_loc.reshape(n_loc, H)
         v_loc = v_loc.reshape(n_loc, H, dv)
@@ -463,6 +485,8 @@ def _partitioned_attention_nodescores(plan: EdgePartitionPlan,
         valid = (w != 0)[:, None] & jnp.ones_like(alpha, bool)
         alpha = S.segment_softmax(alpha, receivers_loc, n_loc,
                                   mask=valid)
+        if dropout_rate > 0.0:
+            alpha = _coeff_dropout(alpha, rng, dropout_rate, axis)
         msg = jnp.take(v_ext, senders_ext, axis=0) * alpha[..., None]
         return S.segment_sum(msg, receivers_loc, n_loc)
 
@@ -473,9 +497,10 @@ def _partitioned_attention_nodescores(plan: EdgePartitionPlan,
 
     sharded = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis),) * 7, out_specs=P(axis))
+        in_specs=(P(axis),) * 7 + (P(),), out_specs=P(axis))
     return sharded(s_dst, s_src, v, plan.senders_ext,
-                   plan.receivers_loc, plan.edge_weight, plan.send_idx)
+                   plan.receivers_loc, plan.edge_weight, plan.send_idx,
+                   dropout_rng)
 
 
 def halo_stats(plan: EdgePartitionPlan) -> dict:

@@ -142,3 +142,71 @@ class TestPartitionedSpMM:
         np.add.at(ref, r, x[s])
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5,
                                    atol=1e-5)
+
+
+class TestPartitionedAttentionDropout:
+    """Round-3: the multi-chip attention path carries coefficient
+    dropout (cfg.gnn.att_dropout) instead of falling back to XLA."""
+
+    def test_dropout_scales_and_masks(self, mesh):
+        from graphgym_tpu.parallel.partition import \
+            partitioned_attention
+
+        n, e, H, dh = 32, 120, 2, 4
+        rng = np.random.default_rng(3)
+        s = rng.integers(0, n, size=e).astype(np.int32)
+        r = rng.integers(0, n, size=e).astype(np.int32)
+        q = rng.normal(size=(n, H, dh)).astype(np.float32)
+        k = rng.normal(size=(n, H, dh)).astype(np.float32)
+        v = np.abs(rng.normal(size=(n, H, dh))).astype(np.float32)
+        plan = plan_edge_partition(s, r, None, n, 8)
+        with mesh:
+            sh = NamedSharding(mesh, P("edge"))
+            args = [jax.device_put(jnp.asarray(a), sh)
+                    for a in (q, k, v)]
+            base = jax.jit(lambda q_, k_, v_: partitioned_attention(
+                plan, q_, k_, v_, mesh))(*args)
+            dropped = jax.jit(lambda q_, k_, v_: partitioned_attention(
+                plan, q_, k_, v_, mesh, dropout_rate=0.5,
+                dropout_rng=jax.random.PRNGKey(7)))(*args)
+        base = np.asarray(base)
+        dropped = np.asarray(dropped)
+        # dropout changes the output (some coefficients were zeroed)...
+        assert not np.allclose(base, dropped)
+        # ...but the inverted-scaling keeps magnitudes in range:
+        # dropped row sums stay within 2x of twice the base (alpha
+        # coefficients <= 1 scaled by 1/0.5 = 2)
+        assert float(np.abs(dropped).sum()) < 4 * float(
+            np.abs(base).sum()) + 1.0
+
+    def test_gat_layer_stays_on_halo_path_with_dropout(self, mesh):
+        """packed_attention under an active mesh + plans must NOT
+        return None when att_dropout > 0 (round-2 fence removed)."""
+        from graphgym_tpu.graphs.container import build_graph_batch
+        from graphgym_tpu.nn.layers import packed_attention
+        from graphgym_tpu.parallel.context import use_mesh
+        from graphgym_tpu.parallel.partition import build_plans
+
+        n_real, e, H, dh = 63, 200, 2, 4
+        rng = np.random.default_rng(4)
+        s = rng.integers(0, n_real, size=e).astype(np.int32)
+        r = rng.integers(0, n_real, size=e).astype(np.int32)
+        x = rng.normal(size=(n_real, H * dh)).astype(np.float32)
+        batch = build_graph_batch(s, r, x, pad_nodes_to=64,
+                                  pad_edges_to=256)
+        plans = build_plans(np.asarray(batch.senders),
+                            np.asarray(batch.receivers),
+                            np.asarray(batch.edge_weight),
+                            np.asarray(batch.node_mask),
+                            batch.num_nodes, 8, kinds=("att",))
+        batch = batch.replace(plans=plans)
+        h = jnp.asarray(rng.normal(size=(64, H, dh)).astype(np.float32))
+        sd = jnp.asarray(rng.normal(size=(64, H)).astype(np.float32))
+        ss = jnp.asarray(rng.normal(size=(64, H)).astype(np.float32))
+        with mesh, use_mesh(mesh):
+            out = packed_attention(
+                batch, h, None, node_scores=(sd, ss),
+                score_transform=lambda a: jax.nn.leaky_relu(a, 0.2),
+                dropout_rate=0.3, dropout_rng=jax.random.PRNGKey(0))
+        assert out is not None, "dropout fence re-appeared"
+        assert np.isfinite(np.asarray(out)).all()

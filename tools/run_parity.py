@@ -124,8 +124,10 @@ def run_one_link(layer: str, dataset: str, feature: str, seed: int,
                  epochs, out_root: str):
     """One link-prediction parity cell per reference
     run/grids/IDGNN/link.txt (ws/ba rows): base run/configs/IDGNN/
-    node.yaml + the grid's overrides.  idconv layers use transform
-    'edge' (reference link.txt:21), plain layers 'none' (link.txt:5)."""
+    edge.yaml (the link-pred base: concat edge decoding, disjoint
+    edge_train_mode, augment_feature_dims [10]) + the grid's overrides.
+    idconv layers use transform 'edge' (reference link.txt:21), plain
+    layers 'none' (link.txt:5)."""
     from graphgym_tpu.config import assert_cfg, get_cfg
     from graphgym_tpu.data.loaders import create_dataset, create_loader
     from graphgym_tpu.nn.model import build_model
@@ -139,7 +141,7 @@ def run_one_link(layer: str, dataset: str, feature: str, seed: int,
         jax.config.update("jax_platforms", plat)
 
     cfg = get_cfg()
-    cfg.merge_from_file(f"{REF}/run/configs/IDGNN/node.yaml")
+    cfg.merge_from_file(f"{REF}/run/configs/IDGNN/edge.yaml")
     cfg.merge_from_dict({
         "dataset": {"format": "nx", "name": dataset,
                     "task": "link_pred",
