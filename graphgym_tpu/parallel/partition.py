@@ -63,6 +63,25 @@ class EdgePartitionPlan:
     pack_weights: Optional[jnp.ndarray] = None
     pack_local: Optional[jnp.ndarray] = None
     pack_tiles: Optional[jnp.ndarray] = None
+    # Hub replication (round 3): rows whose features are needed by many
+    # shards move once via all_gather instead of once per requesting
+    # pair through the all_to_all.  hub_send_idx [Pn, Hh] = local rows
+    # each shard contributes to the hub block; hub_counts [Pn] real
+    # counts.  The extended table becomes
+    # [x_local | pair halos (Pn*H) | hub block (Pn*Hh)].
+    hub_send_idx: Optional[jnp.ndarray] = None
+    hub_counts: Optional[jnp.ndarray] = None
+    # Interior/boundary split (round 3): per-shard edge slots with a
+    # purely-local sender (interior) separated from slots whose sender
+    # rides the halo/hub exchange (boundary), so the local interior
+    # segment-sum can overlap the all_to_all (XLA schedules the
+    # collective asynchronously when nothing depends on it yet).
+    senders_int: Optional[jnp.ndarray] = None   # [Pn, Ei] into x_local
+    receivers_int: Optional[jnp.ndarray] = None
+    weight_int: Optional[jnp.ndarray] = None
+    senders_bnd: Optional[jnp.ndarray] = None   # [Pn, Eb] into ext tab
+    receivers_bnd: Optional[jnp.ndarray] = None
+    weight_bnd: Optional[jnp.ndarray] = None
     n_local: int = _field(metadata=dict(static=True), default=0)
     num_shards: int = _field(metadata=dict(static=True), default=1)
 
@@ -173,13 +192,27 @@ def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
                         edge_weight: Optional[np.ndarray],
                         num_nodes: int, num_shards: int,
                         pack: bool = False,
-                        bucket: bool = False) -> EdgePartitionPlan:
+                        bucket: bool = False,
+                        replicate_hubs: bool = True,
+                        hub_min_shards: int = 3,
+                        hub_cap_frac: float = 0.02,
+                        split_interior: bool = True
+                        ) -> EdgePartitionPlan:
     """Build the partition plan on the host (numpy).  With pack=True,
     also build per-shard packed-chunk layouts so partitioned_spmm can
     run the Pallas kernel per chip (scatter-free local reduction).
     bucket=True rounds the per-shard edge and halo capacities up to
     power-of-two-ish buckets so plans from different batches share
-    shapes (one compiled program per split)."""
+    shapes (one compiled program per split).
+
+    replicate_hubs: senders needed by >= hub_min_shards other shards
+    (capped at hub_cap_frac of nodes, highest-multiplicity first) are
+    lifted out of the pairwise halo into a hub block that moves once
+    per layer via all_gather — on Zipf/hub-heavy graphs this removes
+    the duplicate per-pair copies of high-out-degree rows that dominate
+    boundary traffic.  split_interior: emit separate interior (local
+    sender) and boundary edge arrays so the interior segment-sum can
+    overlap the collectives."""
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
     e = len(senders)
@@ -202,7 +235,6 @@ def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
 
     # boundary sets: remote senders needed by shard k from shard s
     needed = [[None] * num_shards for _ in range(num_shards)]
-    h_max = 1
     for k in range(num_shards):
         s_k = senders[per_shard_edges[k]]
         src = s_k // n_loc
@@ -210,9 +242,38 @@ def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
             if s == k:
                 needed[k][s] = np.zeros(0, np.int64)
                 continue
-            ids = np.unique(s_k[src == s])
-            needed[k][s] = ids
-            h_max = max(h_max, len(ids))
+            needed[k][s] = np.unique(s_k[src == s])
+
+    # ---- hub selection: multiplicity = #shards that need each sender
+    hub_ids = np.zeros(0, np.int64)
+    if replicate_hubs and num_shards > 2:
+        all_needed = np.concatenate(
+            [needed[k][s] for k in range(num_shards)
+             for s in range(num_shards)])
+        if len(all_needed):
+            uniq, mult = np.unique(all_needed, return_counts=True)
+            cand = uniq[mult >= hub_min_shards]
+            cand_mult = mult[mult >= hub_min_shards]
+            cap = max(int(hub_cap_frac * num_nodes), 1)
+            if len(cand) > cap:
+                top = np.argsort(-cand_mult, kind="stable")[:cap]
+                cand = np.sort(cand[top])
+            hub_ids = cand
+    hub_set = set(int(v) for v in hub_ids)
+    hubs_of = [np.sort(hub_ids[(hub_ids // n_loc) == s])
+               for s in range(num_shards)]
+    hh_max = max([len(h) for h in hubs_of] + [1])
+    if bucket and len(hub_ids):
+        from graphgym_tpu.graphs.container import bucket_size
+        hh_max = bucket_size(hh_max)
+    if len(hub_ids):
+        for k in range(num_shards):
+            for s in range(num_shards):
+                ids = needed[k][s]
+                needed[k][s] = ids[~np.isin(ids, hubs_of[s])]
+
+    h_max = max([len(needed[k][s]) for k in range(num_shards)
+                 for s in range(num_shards)] + [1])
     if bucket:
         from graphgym_tpu.graphs.container import bucket_size
         h_max = bucket_size(h_max)
@@ -225,12 +286,21 @@ def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
             send_idx[s, k, :len(ids)] = (ids - s * n_loc).astype(
                 np.int32)
             halo_counts[s, k] = len(ids)
+    hub_send_idx = np.zeros((num_shards, hh_max), np.int32)
+    hub_counts = np.zeros(num_shards, np.int64)
+    for s in range(num_shards):
+        hub_send_idx[s, :len(hubs_of[s])] = (
+            hubs_of[s] - s * n_loc).astype(np.int32)
+        hub_counts[s] = len(hubs_of[s])
 
     # extended-table positions: [0, n_loc) local; halo block from shard
-    # s occupies [n_loc + s*h_max, n_loc + (s+1)*h_max)
+    # s occupies [n_loc + s*h_max, n_loc + (s+1)*h_max); hub block from
+    # shard s occupies [n_loc + Pn*h_max + s*hh_max, ... + (s+1)*hh_max)
+    hub_base = n_loc + num_shards * h_max
     senders_ext = np.zeros((num_shards, e_max), np.int32)
     receivers_loc = np.full((num_shards, e_max), n_loc - 1, np.int32)
     w_out = np.zeros((num_shards, e_max), np.float32)
+    interior_mask = []
     for k in range(num_shards):
         ix = per_shard_edges[k]
         s_k = senders[ix]
@@ -246,14 +316,54 @@ def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
             if not m.any():
                 continue
             lookup = {int(v): j for j, v in enumerate(needed[k][s])}
+            hub_lookup = {int(v): j for j, v in enumerate(hubs_of[s])}
             pos[m] = np.asarray(
                 [n_loc + s * h_max + lookup[int(v)]
+                 if int(v) not in hub_set
+                 else hub_base + s * hh_max + hub_lookup[int(v)]
                  for v in s_k[m]], np.int64)
         senders_ext[k, :len(ix)] = pos
         receivers_loc[k, :len(ix)] = (r_k - k * n_loc).astype(np.int32)
         w_out[k, :len(ix)] = edge_weight[ix]
+        interior_mask.append(local)
 
     kw = {}
+    if len(hub_ids):
+        kw.update(hub_send_idx=hub_send_idx, hub_counts=hub_counts)
+    if split_interior:
+        # interior = sender local to the shard; boundary = sender in
+        # the halo/hub blocks.  Padded slots (weight 0) go interior —
+        # they point at local row n_loc - 1.
+        ei = max(max((int(m.sum()) for m in interior_mask), default=0),
+                 1)
+        eb = max(max((len(ix) - int(m.sum())
+                      for ix, m in zip(per_shard_edges, interior_mask)),
+                     default=0), 1)
+        if bucket:
+            from graphgym_tpu.graphs.container import bucket_size
+            ei, eb = bucket_size(ei), bucket_size(eb)
+        s_int = np.full((num_shards, ei), n_loc - 1, np.int32)
+        r_int = np.full((num_shards, ei), n_loc - 1, np.int32)
+        w_int = np.zeros((num_shards, ei), np.float32)
+        s_bnd = np.full((num_shards, eb), n_loc - 1, np.int32)
+        r_bnd = np.full((num_shards, eb), n_loc - 1, np.int32)
+        w_bnd = np.zeros((num_shards, eb), np.float32)
+        for k in range(num_shards):
+            ne = len(per_shard_edges[k])
+            m = interior_mask[k]
+            pos_k = senders_ext[k, :ne]
+            r_k = receivers_loc[k, :ne]
+            wk = w_out[k, :ne]
+            s_int[k, :m.sum()] = pos_k[m]
+            r_int[k, :m.sum()] = r_k[m]
+            w_int[k, :m.sum()] = wk[m]
+            nb = ne - int(m.sum())
+            s_bnd[k, :nb] = pos_k[~m]
+            r_bnd[k, :nb] = r_k[~m]
+            w_bnd[k, :nb] = wk[~m]
+        kw.update(senders_int=s_int, receivers_int=r_int,
+                  weight_int=w_int, senders_bnd=s_bnd,
+                  receivers_bnd=r_bnd, weight_bnd=w_bnd)
     if pack:
         from graphgym_tpu.ops.pallas.spmm_kernel import pack_csr, pad_pack
 
@@ -261,7 +371,7 @@ def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
                           n_loc) for k in range(num_shards)]
         nc_max = max(p.senders.shape[0] for p in packs)
         packs = [pad_pack(p, nc_max, n_loc) for p in packs]
-        kw = dict(
+        kw.update(
             pack_senders=np.stack([p.senders for p in packs]),
             pack_weights=np.stack([p.weights for p in packs]),
             pack_local=np.stack([p.local_rows for p in packs]),
@@ -277,43 +387,88 @@ def plan_edge_partition(senders: np.ndarray, receivers: np.ndarray,
         n_local=n_loc, num_shards=num_shards, **kw)
 
 
+def _exchange_parts(x_loc, send_idx, hub_idx, pn, axis):
+    """Collect the remote parts of the extended table: pairwise halo
+    rows via all_to_all plus (when hub replication is on) the hub block
+    via all_gather.  Returns a list of [*, d]-shaped blocks ORDERED to
+    match plan_edge_partition's extended-table positions."""
+    d = x_loc.shape[-1]
+    send_buf = jnp.take(x_loc, send_idx.reshape(-1),
+                        axis=0).reshape(pn, -1, d)
+    halo = jax.lax.all_to_all(send_buf, axis, split_axis=0,
+                              concat_axis=0, tiled=False)
+    parts = [halo.reshape(-1, d)]
+    if hub_idx is not None:
+        hub_rows = jnp.take(x_loc, hub_idx.reshape(-1), axis=0)
+        hubs = jax.lax.all_gather(hub_rows, axis, axis=0,
+                                  tiled=False)           # [pn, Hh, d]
+        parts.append(hubs.reshape(-1, d))
+    return parts
+
+
 def partitioned_spmm(plan: EdgePartitionPlan, x: jnp.ndarray,
                      mesh: Mesh, axis: str = "edge",
                      use_kernel: bool = False) -> jnp.ndarray:
     """out = A @ x with x, out row-sharded over `axis`; one all_to_all
-    of boundary rows per call.  use_kernel=True runs the packed Pallas
-    segmented matmul per chip for the local reduction (requires a plan
-    built with pack=True) — the single-chip kernel composed with the
-    multi-chip halo exchange."""
+    of boundary rows (+ one hub all_gather when the plan replicates
+    hubs) per call.  use_kernel=True runs the packed Pallas segmented
+    matmul per chip for the local reduction (requires a plan built with
+    pack=True) — the single-chip kernel composed with the multi-chip
+    halo exchange.
+
+    Plans built with split_interior carry separate interior/boundary
+    edge arrays: the collectives are issued first, the interior
+    segment-sum (which depends only on local rows) runs while they are
+    in flight, and only the boundary segment-sum waits for the halo —
+    XLA's async collective scheduling overlaps the all_to_all with the
+    interior compute."""
     pn = plan.num_shards
     n_loc = plan.n_local
     d = x.shape[-1]
+    has_hubs = plan.hub_send_idx is not None
+    split = plan.senders_int is not None and not use_kernel
     if use_kernel:
         assert plan.pack_senders is not None, (
             "use_kernel needs plan_edge_partition(..., pack=True)")
 
-    def exchange(x_loc, send_idx):
-        send_buf = jnp.take(x_loc, send_idx.reshape(-1),
-                            axis=0).reshape(pn, -1, d)
-        halo = jax.lax.all_to_all(send_buf, axis, split_axis=0,
-                                  concat_axis=0, tiled=False)
-        # halo[s] = the rows shard s sent to me
-        return jnp.concatenate([x_loc, halo.reshape(-1, d)])
+    def exchange(x_loc, send_idx, hub_idx):
+        parts = _exchange_parts(x_loc, send_idx, hub_idx, pn, axis)
+        return jnp.concatenate([x_loc] + parts)
 
-    def local_fn(x_loc, senders_ext, receivers_loc, w, send_idx):
+    def local_fn(x_loc, senders_ext, receivers_loc, w, send_idx,
+                 *hub):
         # all inputs arrive with the leading shard axis stripped
         x_ext = exchange(x_loc.reshape(n_loc, d),
-                         send_idx.reshape(pn, -1))
+                         send_idx.reshape(pn, -1),
+                         hub[0] if has_hubs else None)
         msg = jnp.take(x_ext, senders_ext.reshape(-1), axis=0) \
             * w.reshape(-1)[:, None]
         return S.segment_sum(msg, receivers_loc.reshape(-1), n_loc)
 
-    def local_fn_kernel(x_loc, send_idx, p_send, p_w, p_local, p_tiles):
+    def local_fn_split(x_loc, s_int, r_int, w_int, s_bnd, r_bnd,
+                       w_bnd, send_idx, *hub):
+        x_loc = x_loc.reshape(n_loc, d)
+        # issue the collectives first — nothing below depends on them
+        # until the boundary pass, so the interior segment-sum overlaps
+        parts = _exchange_parts(x_loc, send_idx.reshape(pn, -1),
+                                hub[0] if has_hubs else None, pn, axis)
+        msg_i = jnp.take(x_loc, s_int.reshape(-1), axis=0) \
+            * w_int.reshape(-1)[:, None]
+        interior = S.segment_sum(msg_i, r_int.reshape(-1), n_loc)
+        x_ext = jnp.concatenate([x_loc] + parts)
+        msg_b = jnp.take(x_ext, s_bnd.reshape(-1), axis=0) \
+            * w_bnd.reshape(-1)[:, None]
+        boundary = S.segment_sum(msg_b, r_bnd.reshape(-1), n_loc)
+        return interior + boundary
+
+    def local_fn_kernel(x_loc, send_idx, p_send, p_w, p_local, p_tiles,
+                        *hub):
         from graphgym_tpu.ops.pallas.spmm_kernel import (
             EDGE_GROUP, ROWS_PER_TILE, packed_segment_matmul)
 
         x_ext = exchange(x_loc.reshape(n_loc, d),
-                         send_idx.reshape(pn, -1))
+                         send_idx.reshape(pn, -1),
+                         hub[0] if has_hubs else None)
         p_send = p_send.reshape(p_send.shape[-2:])
         msg = jnp.take(x_ext, p_send.reshape(-1), axis=0).reshape(
             p_send.shape + (d,))
@@ -329,21 +484,30 @@ def partitioned_spmm(plan: EdgePartitionPlan, x: jnp.ndarray,
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
+    hub_args = (plan.hub_send_idx,) if has_hubs else ()
     if use_kernel:
         # pallas_call doesn't carry varying-mesh-axis metadata yet
         sharded = shard_map(
             local_fn_kernel, mesh=mesh,
-            in_specs=(P(axis),) * 6, out_specs=P(axis),
-            check_vma=False)
+            in_specs=(P(axis),) * (6 + len(hub_args)),
+            out_specs=P(axis), check_vma=False)
         return sharded(x, plan.send_idx, plan.pack_senders,
                        plan.pack_weights, plan.pack_local,
-                       plan.pack_tiles)
+                       plan.pack_tiles, *hub_args)
+    if split:
+        sharded = shard_map(
+            local_fn_split, mesh=mesh,
+            in_specs=(P(axis),) * (8 + len(hub_args)),
+            out_specs=P(axis))
+        return sharded(x, plan.senders_int, plan.receivers_int,
+                       plan.weight_int, plan.senders_bnd,
+                       plan.receivers_bnd, plan.weight_bnd,
+                       plan.send_idx, *hub_args)
     sharded = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis))
+        in_specs=(P(axis),) * (5 + len(hub_args)), out_specs=P(axis))
     return sharded(x, plan.senders_ext, plan.receivers_loc,
-                   plan.edge_weight, plan.send_idx)
+                   plan.edge_weight, plan.send_idx, *hub_args)
 
 
 def _coeff_dropout(alpha, rng, rate, axis):
@@ -394,8 +558,10 @@ def partitioned_attention(plan: EdgePartitionPlan, q: jnp.ndarray,
     if dropout_rng is None:
         dropout_rng = jax.random.PRNGKey(0)
 
+    has_hubs = plan.hub_send_idx is not None
+
     def local_fn(q_loc, k_loc, v_loc, senders_ext, receivers_loc, w,
-                 send_idx, rng):
+                 send_idx, rng, *hub):
         q_loc = q_loc.reshape(n_loc, H, dh)
         k_loc = k_loc.reshape(n_loc, H, dh)
         v_loc = v_loc.reshape(n_loc, H, dv)
@@ -405,12 +571,12 @@ def partitioned_attention(plan: EdgePartitionPlan, q: jnp.ndarray,
         w = w.reshape(-1)
 
         def exchange(t):
-            buf = jnp.take(t, send_idx.reshape(-1), axis=0).reshape(
-                (pn, send_idx.shape[1]) + t.shape[1:])
-            halo = jax.lax.all_to_all(buf, axis, split_axis=0,
-                                      concat_axis=0, tiled=False)
-            return jnp.concatenate(
-                [t, halo.reshape((-1,) + t.shape[1:])])
+            flat = t.reshape(t.shape[0], -1)
+            parts = _exchange_parts(flat, send_idx,
+                                    hub[0] if has_hubs else None, pn,
+                                    axis)
+            return jnp.concatenate([flat] + parts).reshape(
+                (-1,) + t.shape[1:])
 
         k_ext = exchange(k_loc)
         v_ext = exchange(v_loc)
@@ -430,13 +596,14 @@ def partitioned_attention(plan: EdgePartitionPlan, q: jnp.ndarray,
     except ImportError:
         from jax.experimental.shard_map import shard_map
 
+    hub_args = (plan.hub_send_idx,) if has_hubs else ()
     sharded = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P()),
+        in_specs=(P(axis),) * 7 + (P(),) + (P(axis),) * len(hub_args),
         out_specs=P(axis))
     return sharded(q, k, v, plan.senders_ext, plan.receivers_loc,
-                   plan.edge_weight, plan.send_idx, dropout_rng)
+                   plan.edge_weight, plan.send_idx, dropout_rng,
+                   *hub_args)
 
 
 def _partitioned_attention_nodescores(plan: EdgePartitionPlan,
@@ -458,8 +625,10 @@ def _partitioned_attention_nodescores(plan: EdgePartitionPlan,
     if dropout_rng is None:
         dropout_rng = jax.random.PRNGKey(0)
 
+    has_hubs = plan.hub_send_idx is not None
+
     def local_fn(sd_loc, ss_loc, v_loc, senders_ext, receivers_loc, w,
-                 send_idx, rng):
+                 send_idx, rng, *hub):
         sd_loc = sd_loc.reshape(n_loc, H)
         ss_loc = ss_loc.reshape(n_loc, H)
         v_loc = v_loc.reshape(n_loc, H, dv)
@@ -469,12 +638,12 @@ def _partitioned_attention_nodescores(plan: EdgePartitionPlan,
         w = w.reshape(-1)
 
         def exchange(t):
-            buf = jnp.take(t, send_idx.reshape(-1), axis=0).reshape(
-                (pn, send_idx.shape[1]) + t.shape[1:])
-            halo = jax.lax.all_to_all(buf, axis, split_axis=0,
-                                      concat_axis=0, tiled=False)
-            return jnp.concatenate(
-                [t, halo.reshape((-1,) + t.shape[1:])])
+            flat = t.reshape(t.shape[0], -1)
+            parts = _exchange_parts(flat, send_idx,
+                                    hub[0] if has_hubs else None, pn,
+                                    axis)
+            return jnp.concatenate([flat] + parts).reshape(
+                (-1,) + t.shape[1:])
 
         ss_ext = exchange(ss_loc)
         v_ext = exchange(v_loc)
@@ -495,19 +664,57 @@ def _partitioned_attention_nodescores(plan: EdgePartitionPlan,
     except ImportError:
         from jax.experimental.shard_map import shard_map
 
+    hub_args = (plan.hub_send_idx,) if has_hubs else ()
     sharded = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis),) * 7 + (P(),), out_specs=P(axis))
+        in_specs=(P(axis),) * 7 + (P(),) + (P(axis),) * len(hub_args),
+        out_specs=P(axis))
     return sharded(s_dst, s_src, v, plan.senders_ext,
                    plan.receivers_loc, plan.edge_weight, plan.send_idx,
-                   dropout_rng)
+                   dropout_rng, *hub_args)
 
 
 def halo_stats(plan: EdgePartitionPlan) -> dict:
     """Communication accounting for the scaling analysis: boundary rows
     exchanged vs total rows (the replicated layout moves n_total rows
-    per chip per layer via all-reduce)."""
-    used = int(np.asarray(plan.halo_counts).sum())
+    per chip per layer via all-reduce).
+
+    halo_rows counts pairwise all_to_all rows (each requested copy);
+    hub_rows counts hub-block rows each device RECEIVES via the
+    all_gather (total hubs minus its own) — the dedup win of hub
+    replication shows up as halo_rows shrinking by more than
+    hub_rows * Pn grows."""
+    counts = np.asarray(plan.halo_counts)
+    used = int(counts.sum())
     total = plan.num_shards * plan.n_local
-    return {"halo_rows": used, "total_rows": total,
-            "halo_fraction": used / max(total, 1)}
+    # The step-time-relevant quantity is the bottleneck DEVICE's
+    # all_to_all load: sends are skewed on hub-heavy graphs (the hub's
+    # owner ships one copy per requesting shard), so track per-device
+    # send and receive maxima, not just the sum.  Hub replication
+    # converts those duplicate sends into one ring all_gather whose
+    # per-device cost is ~the total hub block (forwarding included),
+    # paid equally by every device.
+    send_rows = counts.sum(axis=1)   # rows device s ships out
+    recv_rows = counts.sum(axis=0)   # rows device k takes in
+    out = {"halo_rows": used, "total_rows": total,
+           "halo_fraction": used / max(total, 1),
+           "max_send_rows": int(send_rows.max()) if len(send_rows)
+           else 0,
+           "max_recv_rows": int(recv_rows.max()) if len(recv_rows)
+           else 0}
+    out["bottleneck_rows"] = max(out["max_send_rows"],
+                                 out["max_recv_rows"])
+    if plan.hub_counts is not None:
+        hub_total = int(np.asarray(plan.hub_counts).sum())
+        # ring all_gather: every device sends AND receives ~the whole
+        # hub block (minus its own share)
+        out["hub_unique"] = hub_total
+        out["hub_rows_per_dev"] = hub_total * (plan.num_shards - 1) \
+            // max(plan.num_shards, 1)
+        out["bottleneck_rows"] += out["hub_rows_per_dev"]
+    if plan.weight_int is not None:
+        out["interior_edges"] = int(
+            (np.asarray(plan.weight_int) != 0).sum())
+        out["boundary_edges"] = int(
+            (np.asarray(plan.weight_bnd) != 0).sum())
+    return out

@@ -146,7 +146,14 @@ class Logger:
     def classification_binary(self) -> Dict:
         true = np.concatenate(self._true)
         score = np.concatenate(self._pred)
-        pred_label = (score > self.thresh).astype(true.dtype)
+        if score.ndim > 1 and score.shape[-1] > 1:
+            # two-column scores (e.g. link_pred through the concat edge
+            # decoder): argmax like the reference _get_pred_int
+            # (logger.py:85-89); class-1 column serves as the auc score
+            pred_label = score.argmax(-1).astype(true.dtype)
+            score = score[..., 1]
+        else:
+            pred_label = (score > self.thresh).astype(true.dtype)
         p, r, f1 = _prf(true, pred_label)
         return {
             "accuracy": round(_accuracy(true, pred_label), self.round),

@@ -157,8 +157,10 @@ class Trainer:
         # -------- multi-chip: build the mesh and shard state + batches
         # (cfg.tpu.mesh_shape, e.g. [8] or [4, 2]; axis 0 partitions the
         # graph, axis 1 is tensor parallelism — parallel/mesh.py).
+        import collections
+
         self.mesh = None
-        self._shard_cache: Dict[int, Tuple[Any, Any]] = {}
+        self._shard_cache: Any = collections.OrderedDict()
         if cfg.tpu.mesh_shape:
             from graphgym_tpu.parallel.mesh import (make_mesh,
                                                     shard_params)
@@ -205,6 +207,7 @@ class Trainer:
         key = id(batch)
         hit = self._shard_cache.get(key)
         if hit is not None and hit[0] is batch:
+            self._shard_cache.move_to_end(key)   # LRU refresh
             return hit[1]
         if self.mesh is None:
             placed = jax.device_put(batch)
@@ -213,8 +216,13 @@ class Trainer:
 
             placed = shard_batch(batch, self.mesh,
                                  layout=self.cfg.tpu.partition)
-        if len(self._shard_cache) > 64:   # resampling loaders: bound it
-            self._shard_cache.clear()
+        # Strict LRU, small cap: cached placements pin device memory
+        # (an unbounded cache OOMs HBM after ~30 epochs of reshuffled
+        # loaders — each epoch's fresh batches are new objects).  Static
+        # loaders reuse the same batch objects every epoch/eval, so
+        # they stay hot; reshuffled batches evict within a few epochs.
+        while len(self._shard_cache) >= 8:
+            self._shard_cache.popitem(last=False)
         self._shard_cache[key] = (batch, placed)
         return placed
 

@@ -119,6 +119,17 @@ def weak_scaling_sweep(dim: int, iters: int, base_nodes: int = 16384,
 
     ICI_GBS = 45.0   # v5e per-direction effective ICI bandwidth
     HBM_GBS = 819.0
+    # Anchor: a measured single-chip edges/s for the partitioned local
+    # reduction (tools/run_anchor.py writes ANCHOR.json on the real
+    # TPU).  When present, t_local comes from the measurement instead
+    # of the HBM byte model — the projection is then anchored to real
+    # hardware at 1 shard.
+    anchor = None
+    anchor_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "ANCHOR.json")
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            anchor = json.load(f)
     rows = []
     t1 = None
     for parts in (1, 2, 4, 8):
@@ -126,6 +137,17 @@ def weak_scaling_sweep(dim: int, iters: int, base_nodes: int = 16384,
             break
         if workload == "ego":
             s, r, n = build_weak_ego(parts)
+        elif workload == "zipf":
+            # hub-heavy single Zipf graph (bench.py generator shape):
+            # sender hubs are the common case at scale — this is the
+            # workload hub replication targets
+            rng_ = np.random.default_rng(0)
+            n = base_nodes * parts
+            e_ = base_edges * parts
+            s = np.minimum((rng_.random(e_) ** 2 * n).astype(np.int64),
+                           n - 1).astype(np.int32)
+            r = np.minimum((rng_.random(e_) ** 2 * n).astype(np.int64),
+                           n - 1).astype(np.int32)
         else:
             s, r, n = build_weak_graph(base_nodes, base_edges, parts)
         e = len(s)
@@ -150,21 +172,45 @@ def weak_scaling_sweep(dim: int, iters: int, base_nodes: int = 16384,
             t = (time.perf_counter() - t0) / iters
         if parts == 1:
             t1 = t
-        # hardware-independent comm model: per-device halo bytes moved
-        # over ICI vs local message bytes through HBM
-        halo_rows_per_dev = hs["halo_rows"] / parts
-        local_rows_bytes = (e / parts) * dim * 4 * 2  # gather + write
-        halo_bytes = halo_rows_per_dev * dim * 4
-        t_local = local_rows_bytes / (HBM_GBS * 1e9)
-        t_comm = halo_bytes / (ICI_GBS * 1e9)
-        projected = t_local / (t_local + t_comm) if parts > 1 else 1.0
+        # comm/compute model (see docs/SCALING.md round-3 notes):
+        #   t_local    — per-device local reduction time: anchored to
+        #                the measured single-chip edges/s when
+        #                ANCHOR.json exists, else HBM byte model;
+        #   t_comm     — bottleneck device's collective rows (max of
+        #                per-device all_to_all send/recv load + its
+        #                share of the hub all_gather) over ICI;
+        #   overlap    — the interior segment-sum (interior_edges
+        #                fraction of local work) runs while the
+        #                all_to_all is in flight (split_interior
+        #                plans), so only the boundary tail serializes:
+        #   eff = t_local / (max(t_interior, t_comm) + t_boundary)
+        edges_per_dev = e / parts
+        if anchor and anchor.get("partitioned_fwd_edges_per_s"):
+            t_local = edges_per_dev / anchor[
+                "partitioned_fwd_edges_per_s"]
+        else:
+            t_local = edges_per_dev * dim * 4 * 2 / (HBM_GBS * 1e9)
+        bottleneck_rows = hs.get("bottleneck_rows", 0)
+        t_comm = bottleneck_rows * dim * 4 / (ICI_GBS * 1e9)
+        total_e = max(hs.get("interior_edges", 0)
+                      + hs.get("boundary_edges", 0), 1)
+        int_frac = hs.get("interior_edges", 0) / total_e
+        t_int = t_local * int_frac
+        t_bnd = t_local * (1.0 - int_frac)
+        if parts == 1:
+            projected = projected_overlap = 1.0
+        else:
+            projected = t_local / (t_local + t_comm)
+            projected_overlap = t_local / (max(t_int, t_comm) + t_bnd)
         rows.append({
             "devices": parts, "nodes": n, "edges": e,
             "halo": hs,
             "measured_s": round(t, 4),
             "weak_efficiency_measured": (round(t1 / t, 4)
                                          if t1 else None),
-            "projected_efficiency_v5e": round(projected, 4),
+            "t_local_anchored": bool(anchor),
+            "projected_efficiency_v5e_no_overlap": round(projected, 4),
+            "projected_efficiency_v5e": round(projected_overlap, 4),
         })
     return rows
 
@@ -212,20 +258,30 @@ def main():
             "dim": args.dim,
             "sweep_powerlaw": weak_scaling_sweep(
                 args.dim, args.iters, workload="powerlaw"),
+            "sweep_zipf": weak_scaling_sweep(
+                args.dim, args.iters, workload="zipf"),
             "sweep_ego": weak_scaling_sweep(
                 args.dim, args.iters, workload="ego"),
             "note": ("weak scaling, constant per-device work. "
                      "sweep_powerlaw = adversarial random graph (16384 "
                      "nodes / 250k edges per device, 5% uniform cross "
                      "edges — no locality for the partitioner); "
+                     "sweep_zipf = hub-heavy Zipf graph (bench.py "
+                     "generator — the hub-replication target); "
                      "sweep_ego = the product's ID-GNN Full workload "
                      "(disjoint ego-net unions, 20 ws graphs per "
                      "device), where BFS partitioning cuts ~no edges. "
                      "On the cpu virtual mesh measured times share 2 "
-                     "physical cores, so projected_efficiency_v5e "
-                     "(per-device halo bytes over ICI vs local message "
-                     "bytes over HBM, conservative no-overlap sum) is "
-                     "the hardware-relevant number."),
+                     "physical cores, so projected_efficiency_v5e is "
+                     "the hardware-relevant number: t_local (anchored "
+                     "to the measured single-chip rate when "
+                     "ANCHOR.json exists) vs the bottleneck device's "
+                     "collective load over ICI, with the interior "
+                     "segment-sum overlapping the all_to_all "
+                     "(split_interior plans) — "
+                     "eff = t_local / (max(t_interior, t_comm) + "
+                     "t_boundary).  The no-overlap column keeps the "
+                     "round-2 conservative serial-sum model."),
         }
         with open(args.out, "w") as f:
             json.dump(artifact, f, indent=1)
