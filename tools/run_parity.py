@@ -73,6 +73,31 @@ def reference_acc(model_key: str, dataset: str):
     return None
 
 
+def reference_std(model_key: str, dataset: str):
+    """Across-seed std of best-val accuracy from the reference's
+    per-seed eval curves (results/val/middle/<base>_<ds>.txt — one row
+    per seed, one column per eval epoch, written by main_zd.py:326).
+    The final/ artifacts only store the mean, so sigma_ref comes from
+    max-over-curve per seed here."""
+    for base in _ARTIFACT_NAMES.get(model_key, [MODELS[model_key][1]]):
+        p = f"{REF}/results/val/middle/{base}_{dataset}.txt"
+        if os.path.exists(p):
+            curves = np.atleast_2d(np.loadtxt(p))
+            return float(curves.max(axis=1).std())
+    return None
+
+
+def pass_2sigma(delta, ref_std, ours_std):
+    """|delta| <= max(2 * combined sigma, 0.03): the reference protocol
+    is 3 seeds (main_zd.py:25), so both sides carry seed noise; the
+    0.03 floor guards near-deterministic cells (sigma ~ 1e-3) against
+    meaninglessly strict bands (same floor as the link-pred table)."""
+    if delta is None:
+        return None
+    sig = ((ref_std or 0.0) ** 2 + (ours_std or 0.0) ** 2) ** 0.5
+    return bool(abs(delta) <= max(2 * sig, 0.03))
+
+
 def refresh_references(out_dir: str) -> None:
     """Re-resolve reference values for an existing parity.json (used
     after fixing the artifact-name mapping mid-sweep)."""
@@ -82,8 +107,11 @@ def refresh_references(out_dir: str) -> None:
     for r in rows:
         ref = reference_acc(r["model"], r["dataset"])
         r["reference"] = ref
+        r["reference_std"] = reference_std(r["model"], r["dataset"])
         r["delta"] = (round(r["ours"] - ref, 4)
                       if ref is not None else None)
+        r["pass_2sigma"] = pass_2sigma(r["delta"], r["reference_std"],
+                                       r.get("ours_std"))
     with open(path, "w") as f:
         json.dump(rows, f, indent=1)
     _write_markdown(out_dir, rows)
@@ -91,12 +119,21 @@ def refresh_references(out_dir: str) -> None:
 
 def _write_markdown(out_dir: str, rows) -> None:
     with open(os.path.join(out_dir, "PARITY.md"), "w") as f:
-        f.write("| model | dataset | ours | reference | delta |\n")
-        f.write("|---|---|---|---|---|\n")
+        f.write("Pass rule: |delta| <= max(2*sqrt(sigma_ref^2 + "
+                "sigma_ours^2), 0.03); sigma_ref from the reference's "
+                "per-seed curves (results/val/middle), sigma_ours over "
+                "our seeds.\n\n")
+        f.write("| model | dataset | ours | reference (±σ) | delta | "
+                "seeds | ≤2σ |\n")
+        f.write("|---|---|---|---|---|---|---|\n")
         for r in rows:
+            rs = r.get("reference_std")
+            rs = "?" if rs is None else round(rs, 4)
             f.write(f"| {r['model']} | {r['dataset']} | "
-                    f"{r['ours']}±{r['ours_std']} | {r['reference']} | "
-                    f"{r['delta']} |\n")
+                    f"{r['ours']}±{r['ours_std']} | "
+                    f"{r['reference']}±{rs} | "
+                    f"{r['delta']} | {r.get('seeds', 1)} | "
+                    f"{r.get('pass_2sigma')} |\n")
 
 
 LINK_LAYERS = ["gcnconv", "sageconv", "gatconv", "ginconv",
@@ -398,29 +435,26 @@ def main():
             if not accs:
                 continue
             ref = reference_acc(model_key, dataset)
+            ref_std = reference_std(model_key, dataset)
+            ours = round(float(np.mean(accs)), 4)
+            ours_std = round(float(np.std(accs)), 4)
+            delta = round(ours - ref, 4) if ref is not None else None
             # replace any stale partial row for this combo
             rows = [r for r in rows
                     if (r["model"], r["dataset"]) != (model_key, dataset)]
             rows.append({
                 "model": model_key, "dataset": dataset,
-                "ours": round(float(np.mean(accs)), 4),
-                "ours_std": round(float(np.std(accs)), 4),
-                "reference": ref,
-                "delta": (round(float(np.mean(accs)) - ref, 4)
-                          if ref is not None else None),
+                "ours": ours, "ours_std": ours_std,
+                "reference": ref, "reference_std": ref_std,
+                "delta": delta,
+                "pass_2sigma": pass_2sigma(delta, ref_std, ours_std),
                 "seeds": len(accs),
             })
             with open(os.path.join(args.out, "parity.json"), "w") as f:
                 json.dump(rows, f, indent=1)
     # markdown summary
     os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, "PARITY.md"), "w") as f:
-        f.write("| model | dataset | ours | reference | delta |\n")
-        f.write("|---|---|---|---|---|\n")
-        for r in rows:
-            f.write(f"| {r['model']} | {r['dataset']} | "
-                    f"{r['ours']}±{r['ours_std']} | {r['reference']} | "
-                    f"{r['delta']} |\n")
+    _write_markdown(args.out, rows)
     print(json.dumps(rows, indent=1))
 
 
