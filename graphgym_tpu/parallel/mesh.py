@@ -89,14 +89,35 @@ def batch_shardings(mesh: Mesh, layout: str = "replicated"):
             for k, s in _specs_for(mesh, layout).items()}
 
 
+def _place_sharded(v, sharding: NamedSharding, multiprocess: bool):
+    """Place a full host array under `sharding`.
+
+    Single-process: one bulk device_put.  Multi-process (jax.distributed
+    initialized, mesh spanning processes): every process holds the same
+    full host array (loaders are deterministic and replicated), but only
+    this process's ADDRESSABLE shards may be materialized — slice them
+    out per local device and assemble the global array with
+    make_array_from_single_device_arrays.  This is the multi-host data
+    feeding path (SURVEY.md §5.8; no reference counterpart)."""
+    if not multiprocess:
+        return jax.device_put(v, sharding)
+    idx_map = sharding.addressable_devices_indices_map(v.shape)
+    arrs = [jax.device_put(v[idx], d) for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(
+        v.shape, sharding, arrs)
+
+
 def shard_batch(batch: GraphBatch, mesh: Mesh,
                 layout: str = "replicated") -> GraphBatch:
     """Place a host GraphBatch onto the mesh.  layout='replicated'
     shards edges + feature columns with a replicated node table;
     layout='node' additionally row-shards the node tables and the
-    attached EdgePartitionPlans (leading axis = shard)."""
+    attached EdgePartitionPlans (leading axis = shard).  Works for
+    multi-host meshes: each process feeds only its addressable shards
+    (see _place_sharded)."""
     import dataclasses
 
+    multiprocess = jax.process_count() > 1
     specs = _specs_for(mesh, layout)
     rep = NamedSharding(mesh, P())
     updates = {}
@@ -113,14 +134,14 @@ def shard_batch(batch: GraphBatch, mesh: Mesh,
             if part is not None and v.shape[dim] % mesh.shape[part] != 0:
                 ok = False
         s = NamedSharding(mesh, spec) if ok else rep
-        updates[f.name] = jax.device_put(v, s)
+        updates[f.name] = _place_sharded(np.asarray(v), s, multiprocess)
     if batch.plans:
         shard0 = NamedSharding(mesh, P(mesh.axis_names[0]))
 
         def place(a):
             if a is None or not hasattr(a, "ndim"):
                 return a
-            return jax.device_put(a, shard0)
+            return _place_sharded(np.asarray(a), shard0, multiprocess)
 
         updates["plans"] = {
             kind: jax.tree_util.tree_map(place, plan)
@@ -151,6 +172,7 @@ def param_shardings(params, mesh: Mesh):
 
 
 def shard_params(params, mesh: Mesh):
+    multiprocess = jax.process_count() > 1
     return jax.tree_util.tree_map(
-        lambda p, s: jax.device_put(p, s), params,
-        param_shardings(params, mesh))
+        lambda p, s: _place_sharded(np.asarray(p), s, multiprocess),
+        params, param_shardings(params, mesh))
