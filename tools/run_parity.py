@@ -98,6 +98,15 @@ def pass_2sigma(delta, ref_std, ours_std):
     return bool(abs(delta) <= max(2 * sig, 0.03))
 
 
+def _clear_stats(out_dir: str) -> None:
+    """A rerun appends to the per-split stats.json logs; drop stale
+    lines from earlier rounds so artifacts hold one run each."""
+    for split in ("train", "val", "test"):
+        p = os.path.join(out_dir, split, "stats.json")
+        if os.path.exists(p):
+            os.remove(p)
+
+
 def refresh_references(out_dir: str) -> None:
     """Re-resolve reference values for an existing parity.json (used
     after fixing the artifact-name mapping mid-sweep)."""
@@ -195,6 +204,7 @@ def run_one_link(layer: str, dataset: str, feature: str, seed: int,
     name = f"link_{layer}_{dataset}" + ("_id" if feature else "")
     cfg.out_dir = os.path.join(out_root, name, str(seed))
     os.makedirs(cfg.out_dir, exist_ok=True)
+    _clear_stats(cfg.out_dir)
     assert_cfg(cfg)
     random.seed(seed)
     np.random.seed(seed)
@@ -242,6 +252,7 @@ def run_one(model_key: str, dataset: str, seed: int, epochs,
     cfg.out_dir = os.path.join(out_root,
                                f"{model_key}_{dataset}", str(seed))
     os.makedirs(cfg.out_dir, exist_ok=True)
+    _clear_stats(cfg.out_dir)
     assert_cfg(cfg)
     random.seed(seed)
     np.random.seed(seed)
