@@ -185,3 +185,21 @@ class TestMixedPrecision:
         valid = np.asarray(m).astype(bool)
         diff = np.abs(np.asarray(s32) - np.asarray(s16))[valid].max()
         assert diff < 5e-2, diff
+
+
+def test_logger_binary_two_column_scores(tmp_path):
+    """link_pred through the concat edge decoder yields [L, 2] logits;
+    the binary logger must argmax like the reference _get_pred_int
+    (logger.py:85-89) instead of broadcasting against 1-D labels."""
+    from graphgym_tpu.train.logger import Logger
+
+    lg = Logger("val", task_type="classification_binary",
+                out_dir=str(tmp_path))
+    true = np.array([0, 1, 1, 0])
+    score = np.array([[2.0, -1.0], [0.0, 3.0], [1.0, 0.5], [0.2, 0.9]])
+    lg.update_stats(true=true, pred=score, loss=0.1, lr=0.01,
+                    time_used=0.0, params=1)
+    stats = lg.write_epoch(0)
+    # argmax labels = [0, 1, 0, 1] -> acc 0.5; auc uses column 1
+    assert stats["accuracy"] == 0.5
+    assert 0.0 <= stats["auc"] <= 1.0
