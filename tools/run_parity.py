@@ -166,6 +166,31 @@ def link_reference(layer: str, dataset: str, feature: str):
     return None, None
 
 
+def _match_link_budget(cfg) -> None:
+    """The reference ran the link sweep through configs_gen
+    --config_budget (run/scripts/IDGNN/run_idgnn_edge.sh:14-17):
+    every grid point's gnn.dim_inner is adjusted so its model matches
+    the base edge.yaml model's parameter count, with models built at
+    dim_in = dim_out = 1 (comp_budget.py get_stats).  Without this,
+    cheap layers (plain gcnconv) train at lower capacity than the
+    reference's matched models and the comparison is unfair."""
+    import copy
+
+    from graphgym_tpu.config import get_cfg
+    from graphgym_tpu.exp.budget import match_computation, params_count
+
+    base = get_cfg()
+    base.merge_from_file(f"{REF}/run/configs/IDGNN/edge.yaml")
+    base.share.dim_in = 1
+    base.share.dim_out = 1
+    target = params_count(base)
+    work = copy.deepcopy(cfg)
+    work.share.dim_in = 1
+    work.share.dim_out = 1
+    match_computation(work, target)
+    cfg.gnn.dim_inner = work.gnn.dim_inner
+
+
 def run_one_link(layer: str, dataset: str, feature: str, seed: int,
                  epochs, out_root: str):
     """One link-prediction parity cell per reference
@@ -201,6 +226,7 @@ def run_one_link(layer: str, dataset: str, feature: str, seed: int,
         "val": {"accuracy_average": "batch"},
         "train": {"batch_size": 32}})
     cfg.seed = seed
+    _match_link_budget(cfg)
     name = f"link_{layer}_{dataset}" + ("_id" if feature else "")
     cfg.out_dir = os.path.join(out_root, name, str(seed))
     os.makedirs(cfg.out_dir, exist_ok=True)
