@@ -21,6 +21,15 @@ import numpy as np
 # measured on 1x TPU v5e lite in round 1 (27.9M edges/s at N=131072,
 # E=2M, D=128) — the framework's own starting point, since the
 # reference publishes no throughput numbers (BASELINE.md).
+#
+# Round-3 methodology note: iterations are now CHAINED (each consumes
+# the previous gradient) with a host-fetch barrier, because the old
+# same-input + block_until_ready loop can be elided by execution-
+# caching device transports (docs/KERNELS.md).  r1/r2 bench values
+# were measured with the old loop and are not directly comparable;
+# the baseline constant is retained for vs_baseline continuity and
+# the same-run xla/pallas pair in BENCH_DETAILS.json is the honest
+# within-methodology comparison.
 BASELINE_EDGES_PER_S = 27.9e6
 
 
