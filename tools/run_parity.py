@@ -261,6 +261,7 @@ def run_one(model_key: str, dataset: str, seed: int, epochs,
         jax.config.update("jax_platforms", plat)
 
     cfg_dir, _ = MODELS[model_key]
+    impl_override = os.environ.get("GRAPHGYM_SPMM_IMPL")
     path = f"{REF}/config/{cfg_dir}/{model_key}_node_{dataset}.yaml"
     if not os.path.exists(path):
         print(f"SKIP {model_key}/{dataset}: no reference config")
@@ -274,6 +275,12 @@ def run_one(model_key: str, dataset: str, seed: int, epochs,
     cfg.val.accuracy_average = "batch"
     if epochs:
         cfg.optim.max_epoch = epochs
+    if impl_override:
+        # numerics are implementation-independent (pallas == xla,
+        # tests/test_pallas_training.py); the override exists because
+        # some model/compile combinations hit remote-compile hangs on
+        # this environment's TPU tunnel
+        cfg.tpu.spmm_impl = impl_override
     cfg.seed = seed
     cfg.out_dir = os.path.join(out_root,
                                f"{model_key}_{dataset}", str(seed))
