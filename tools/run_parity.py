@@ -303,7 +303,7 @@ def run_one(model_key: str, dataset: str, seed: int, epochs,
 
 def run_one_subprocess(model_key: str, dataset: str, seed: int,
                        epochs: int, out_root: str,
-                       timeout_s: int = 3000):
+                       timeout_s: int = 5400):
     """Each training runs in a fresh process: the TPU tunnel in this
     environment deadlocks on a second training session within one
     process (observed futex hang after the first run)."""
