@@ -280,6 +280,12 @@ def set_cfg(cfg: CfgNode) -> CfgNode:
     cfg.tpu.mesh_shape = []          # e.g. [8] or [4, 2]
     cfg.tpu.mesh_axes = ["edge", "feature"]
     # Distributed graph layout over mesh axis 0:
+    #   'auto'       — (default) resolved at plan time from the batch's
+    #       measured halo: 'node' when the bottleneck device's halo
+    #       rows stay under the crossover fraction of the node table,
+    #       'replicated' when the cut is dense (uniform/Zipf pairs at
+    #       scale) — data/loaders.py _resolve_auto_layout, calibrated
+    #       on the SCALING_r3 sweeps.
     #   'replicated' — every chip holds the full node table; edges are
     #       sharded and XLA all-reduces the partial aggregations
     #       (simple, O(N x D) comm per MP layer).
@@ -287,7 +293,7 @@ def set_cfg(cfg: CfgNode) -> CfgNode:
     #       EdgePartitionPlans (BFS-reordered, receiver-owned edges)
     #       and layers aggregate via halo all_to_all of boundary rows
     #       only (O(boundary) comm; the north-star layout).
-    cfg.tpu.partition = "replicated"
+    cfg.tpu.partition = "auto"
     cfg.tpu.donate_state = True
     cfg.tpu.prefetch = True          # overlap next-epoch host collation
                                      # with device execution (1 worker)

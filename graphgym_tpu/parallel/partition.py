@@ -545,7 +545,11 @@ def partitioned_attention(plan: EdgePartitionPlan, q: jnp.ndarray,
     H = v.shape[1]
     dv = v.shape[-1]
     if dropout_rate > 0.0 and dropout_rng is None:
-        dropout_rate = 0.0
+        # never silently train without the requested attention dropout
+        # — callers must thread an rng when they ask for a rate
+        raise ValueError(
+            "partitioned_attention: dropout_rate > 0 requires a "
+            "dropout_rng (pass one, or set the rate to 0)")
     if node_scores is not None:
         return _partitioned_attention_nodescores(
             plan, node_scores, score_transform, v, mesh, axis,

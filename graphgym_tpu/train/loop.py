@@ -161,6 +161,16 @@ class Trainer:
 
         self.mesh = None
         self._shard_cache: Any = collections.OrderedDict()
+        # Cache sized to hold every loader's batch list (static loaders
+        # reuse the same batch objects each epoch/eval — an LRU smaller
+        # than their total thrashes to a 0% hit rate under cyclic
+        # access and reintroduces the per-batch transfer cost), with a
+        # hard ceiling so reshuffled loaders can't pin unbounded HBM.
+        try:
+            self._place_cap = min(
+                max(8, sum(len(ld) for ld in loaders) + 4), 64)
+        except TypeError:
+            self._place_cap = 8
         if cfg.tpu.mesh_shape:
             from graphgym_tpu.parallel.mesh import (make_mesh,
                                                     shard_params)
@@ -216,12 +226,13 @@ class Trainer:
 
             placed = shard_batch(batch, self.mesh,
                                  layout=self.cfg.tpu.partition)
-        # Strict LRU, small cap: cached placements pin device memory
-        # (an unbounded cache OOMs HBM after ~30 epochs of reshuffled
-        # loaders — each epoch's fresh batches are new objects).  Static
-        # loaders reuse the same batch objects every epoch/eval, so
-        # they stay hot; reshuffled batches evict within a few epochs.
-        while len(self._shard_cache) >= 8:
+        # Strict LRU, bounded cap (_place_cap, sized from the loaders):
+        # cached placements pin device memory (an unbounded cache OOMs
+        # HBM after ~30 epochs of reshuffled loaders — each epoch's
+        # fresh batches are new objects).  Static loaders reuse the
+        # same batch objects every epoch/eval, so they stay hot;
+        # reshuffled batches evict within a few epochs.
+        while len(self._shard_cache) >= self._place_cap:
             self._shard_cache.popitem(last=False)
         self._shard_cache[key] = (batch, placed)
         return placed
@@ -347,44 +358,49 @@ class Trainer:
             from concurrent.futures import ThreadPoolExecutor
 
             prefetch = ThreadPoolExecutor(max_workers=1)
-        for epoch in range(start_epoch, cfg.optim.max_epoch):
-            if profiling and epoch - start_epoch == cfg.tpu.profile_epochs:
-                jax.profiler.stop_trace()
-                profiling = False
-            t_ep = time.time()
-            if fut is not None and fut_epoch == epoch:
-                batches = fut.result()
-            else:
-                batches = self.loaders[0].batches(epoch)
-            if prefetch is not None and epoch + 1 < cfg.optim.max_epoch:
-                fut = prefetch.submit(self.loaders[0].batches, epoch + 1)
-                fut_epoch = epoch + 1
-            self.train_epoch(loggers[0] if loggers else Logger("train"),
-                             epoch, batches=batches)
-            dt_ep = time.time() - t_ep
-            if epoch == start_epoch or (loggers and epoch % 50 == 0):
-                logging.info("epoch %d: %.3fs, %.0f edges/s", epoch,
-                             dt_ep, edges_per_epoch / max(dt_ep, 1e-9))
-            if loggers:
-                loggers[0].write_epoch(epoch)
-            if ckpt.is_eval_epoch(epoch, cfg.train.eval_period,
-                                  cfg.optim.max_epoch):
-                accs = []
-                for i in range(1, num_splits):
-                    acc = self.eval_epoch(
-                        loggers[i] if loggers else None, i)
-                    accs.append(acc)
-                    if loggers:
-                        loggers[i].write_epoch(epoch)
-                if accs:
-                    val_curve.append((epoch, float(np.mean(accs))))
-                    logging.info("epoch %d, acc:%s", epoch,
-                                 round(float(np.mean(accs)), 4))
-            if ckpt.is_ckpt_epoch(epoch, cfg.train.ckpt_period,
-                                  cfg.optim.max_epoch):
-                ckpt.save_ckpt(self.state, cfg.out_dir, epoch)
-        if prefetch is not None:
-            prefetch.shutdown(wait=False)
+        try:
+            for epoch in range(start_epoch, cfg.optim.max_epoch):
+                if profiling and epoch - start_epoch == cfg.tpu.profile_epochs:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                t_ep = time.time()
+                if fut is not None and fut_epoch == epoch:
+                    batches = fut.result()
+                else:
+                    batches = self.loaders[0].batches(epoch)
+                if prefetch is not None and epoch + 1 < cfg.optim.max_epoch:
+                    fut = prefetch.submit(self.loaders[0].batches, epoch + 1)
+                    fut_epoch = epoch + 1
+                self.train_epoch(loggers[0] if loggers else Logger("train"),
+                                 epoch, batches=batches)
+                dt_ep = time.time() - t_ep
+                if epoch == start_epoch or (loggers and epoch % 50 == 0):
+                    logging.info("epoch %d: %.3fs, %.0f edges/s", epoch,
+                                 dt_ep, edges_per_epoch / max(dt_ep, 1e-9))
+                if loggers:
+                    loggers[0].write_epoch(epoch)
+                if ckpt.is_eval_epoch(epoch, cfg.train.eval_period,
+                                      cfg.optim.max_epoch):
+                    accs = []
+                    for i in range(1, num_splits):
+                        acc = self.eval_epoch(
+                            loggers[i] if loggers else None, i)
+                        accs.append(acc)
+                        if loggers:
+                            loggers[i].write_epoch(epoch)
+                    if accs:
+                        val_curve.append((epoch, float(np.mean(accs))))
+                        logging.info("epoch %d, acc:%s", epoch,
+                                     round(float(np.mean(accs)), 4))
+                if ckpt.is_ckpt_epoch(epoch, cfg.train.ckpt_period,
+                                      cfg.optim.max_epoch):
+                    ckpt.save_ckpt(self.state, cfg.out_dir, epoch)
+        finally:
+            # always reclaim the worker thread — an exception mid-
+            # training (or the worker raising inside fut.result())
+            # must not leave the executor collating a stale epoch
+            if prefetch is not None:
+                prefetch.shutdown(wait=False, cancel_futures=True)
         if profiling:
             jax.profiler.stop_trace()
         if cfg.view_emb:

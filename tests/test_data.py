@@ -205,6 +205,53 @@ class TestSplits:
         assert len(shapes) == 1, "resampling must keep static shapes"
         assert len(set(seen_msgs)) > 1, "message set should change"
 
+    def test_link_pred_inductive_disjoint_holds_out_supervision(self):
+        """Inductive disjoint link_pred (the run/grids/IDGNN/link.txt
+        protocol: transductive False + edge.yaml's disjoint mode) must
+        hold supervision positives OUT of the message graph in EVERY
+        split — otherwise an ID layer reads the supervision edge off
+        the adjacency and the task degrades to the csv's 'edge' task
+        (analysis/idgnn.csv edge rows ~1.0 vs link_pred rows ~0.80)."""
+        cfg = get_cfg()
+        cfg.dataset.task = "link_pred"
+        cfg.dataset.transductive = False
+        cfg.dataset.split = [0.8, 0.2]
+        cfg.dataset.edge_train_mode = "disjoint"
+        cfg.dataset.edge_message_ratio = 0.8
+        graphs = [ring_graph(20) for _ in range(10)]
+        splits = split_dataset(graphs, cfg, np.random.default_rng(0))
+        for part in splits:
+            for g in part:
+                # ring(20): 20 undirected pairs -> 16 message, 4 sup
+                assert g.num_edges == 2 * 16
+                eli, el = g["edge_label_index"], g["edge_label"]
+                pos = eli[:, el == 1]
+                assert pos.shape[1] == 4
+                msg = set(zip(g.senders.tolist(), g.receivers.tolist()))
+                sup = set(zip(pos[0].tolist(), pos[1].tolist()))
+                assert not msg & sup, \
+                    "supervision edges must not pass messages"
+                # negatives balanced 1:1 and drawn from true non-edges
+                neg = eli[:, el == 0]
+                assert neg.shape[1] == 4
+
+    def test_link_pred_inductive_all_mode_keeps_full_graph(self):
+        """edge_train_mode 'all' inductive: message = supervision =
+        full edge set (the leaky 'edge'-task variant the csv also
+        reports; reference analysis/idgnn.csv edge rows)."""
+        cfg = get_cfg()
+        cfg.dataset.task = "link_pred"
+        cfg.dataset.transductive = False
+        cfg.dataset.split = [0.8, 0.2]
+        cfg.dataset.edge_train_mode = "all"
+        graphs = [ring_graph(12) for _ in range(5)]
+        splits = split_dataset(graphs, cfg, np.random.default_rng(0))
+        for part in splits:
+            for g in part:
+                assert g.num_edges == 2 * 12
+                eli, el = g["edge_label_index"], g["edge_label"]
+                assert (el == 1).sum() == 12
+
 
 class TestLoaderBatching:
     def test_batch_shapes_stable_across_epochs(self):

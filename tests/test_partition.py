@@ -314,3 +314,48 @@ class TestHubReplicationAndOverlapSplit:
         np.add.at(ref, r, v[s] * alpha[..., None])
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
                                    atol=1e-4)
+
+
+class TestAutoLayoutCrossover:
+    """cfg.tpu.partition == 'auto' (the default) must route dense-cut
+    graphs (uniform/Zipf pairs — SCALING_r3 sweep_zipf collapses to
+    0.20 projected efficiency partitioned at 8 devices) to the
+    replicated layout, and locality-rich graphs to 'node', without
+    user action (VERDICT r3 weak #7 / next-round task 5)."""
+
+    def _resolve(self, s, r, n):
+        from graphgym_tpu.config import get_cfg
+        from graphgym_tpu.data.loaders import _resolve_auto_layout
+        from graphgym_tpu.graphs.container import build_graph_batch
+
+        cfg = get_cfg()
+        cfg.tpu.mesh_shape = [8]
+        cfg.gnn.layer_type = "gcnconv"
+        x = np.ones((n, 8), np.float32)
+        # shard-aligned node padding, as the loader guarantees when a
+        # mesh is configured (GraphLoader rounds pad_nodes up to shards)
+        batch = build_graph_batch(s, r, x, pad_nodes_to=n + 8)
+        return _resolve_auto_layout(batch, cfg, n)
+
+    def test_dense_cut_takes_replicated(self):
+        # uniform random endpoints at scale: every shard needs most of
+        # every other shard's rows — the Zipf/uniform workload class
+        rng = np.random.default_rng(0)
+        n, e = 2048, 40000
+        s = rng.integers(0, n, size=e).astype(np.int32)
+        r = rng.integers(0, n, size=e).astype(np.int32)
+        assert self._resolve(s, r, n) == "replicated"
+
+    def test_local_graph_takes_node(self):
+        # ring + short chords: BFS blocks have tiny boundaries
+        n = 2048
+        s = np.arange(n, dtype=np.int32)
+        r = ((s + 1) % n).astype(np.int32)
+        s2, r2 = np.arange(0, n - 2, dtype=np.int32), \
+            np.arange(2, n, dtype=np.int32)
+        assert self._resolve(np.concatenate([s, s2]),
+                             np.concatenate([r, r2]), n) == "node"
+
+    def test_default_is_auto(self):
+        from graphgym_tpu.config import get_cfg
+        assert get_cfg().tpu.partition == "auto"

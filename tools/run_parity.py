@@ -131,16 +131,41 @@ def _write_markdown(out_dir: str, rows) -> None:
         f.write("Pass rule: |delta| <= max(2*sqrt(sigma_ref^2 + "
                 "sigma_ours^2), 0.03); sigma_ref from the reference's "
                 "per-seed curves (results/val/middle), sigma_ours over "
-                "our seeds.\n\n")
+                "our seeds.  Rows with a note (e.g. truncated runs) "
+                "carry it in the last column.\n\n")
         f.write("| model | dataset | ours | reference (±σ) | delta | "
-                "seeds | ≤2σ |\n")
-        f.write("|---|---|---|---|---|---|---|\n")
+                "seeds | ≤2σ | note |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             rs = r.get("reference_std")
             rs = "?" if rs is None else round(rs, 4)
             f.write(f"| {r['model']} | {r['dataset']} | "
                     f"{r['ours']}±{r['ours_std']} | "
                     f"{r['reference']}±{rs} | "
+                    f"{r['delta']} | {r.get('seeds', 1)} | "
+                    f"{r.get('pass_2sigma')} | "
+                    f"{r.get('note', '') or ''} |\n")
+
+
+def _write_link_markdown(out_dir: str, rows) -> None:
+    with open(os.path.join(out_dir, "LINK_PARITY.md"), "w") as f:
+        f.write("Link-prediction parity vs analysis/idgnn.csv "
+                "link_pred rows (held-out supervision protocol).  The "
+                "'ref edge-task' column is the csv's *edge* row for "
+                "the same cell — the leaky variant (supervision edges "
+                "visible; ~1.0 for ID layers): an 'ours' value "
+                "tracking that column instead of the link_pred one "
+                "indicates a protocol leak.\n\n")
+        f.write("| layer | dataset | feature | ours | reference "
+                "(±σ) | ref edge-task (±σ) | delta | seeds | ≤2σ |\n"
+                "|---|---|---|---|---|---|---|---|---|\n")
+        for r in rows:
+            re_, rs_ = r.get("ref_edge"), r.get("ref_edge_std")
+            edge_col = (f"{re_}±{rs_}" if re_ is not None else "-")
+            f.write(f"| {r['layer']} | {r['dataset']} | "
+                    f"{r['feature'] or '-'} | {r['ours']}"
+                    f"±{r['ours_std']} | {r['reference']}"
+                    f"±{r['reference_std']} | {edge_col} | "
                     f"{r['delta']} | {r.get('seeds', 1)} | "
                     f"{r.get('pass_2sigma')} |\n")
 
@@ -149,9 +174,33 @@ LINK_LAYERS = ["gcnconv", "sageconv", "gatconv", "ginconv",
                "gcnidconv", "sageidconv", "gatidconv", "ginidconv"]
 
 
-def link_reference(layer: str, dataset: str, feature: str):
-    """Reference link-pred accuracy from analysis/idgnn.csv (the
-    original ID-GNN reproduction table)."""
+def _disk_best_val(out_root: str, name: str, seed: int):
+    """Best-val accuracy of a COMPLETED run already on disk (the
+    'Task done ... best val acc X @ epoch N' line the Trainer logs at
+    the end of run()).  Lets the sweep resume at seed granularity —
+    completed seeds are merged instead of re-run (VERDICT r3 missing
+    #4: idgcn_ws seeds 2-3 sat finished on disk unmerged)."""
+    p = os.path.join(out_root, name, str(seed), "logging.log")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        for line in reversed(f.read().splitlines()):
+            if "best val acc" in line:
+                try:
+                    return float(line.split("best val acc")[1]
+                                 .split("@")[0].strip())
+                except ValueError:
+                    return None
+    return None
+
+
+def link_reference(layer: str, dataset: str, feature: str,
+                   task: str = "link_pred"):
+    """Reference accuracy from analysis/idgnn.csv (the original ID-GNN
+    reproduction table).  task='link_pred' is the held-out-supervision
+    protocol (~0.80 for ID layers); task='edge' is the leaky variant
+    where supervision edges stay in the message graph (~1.0 for ID
+    layers) — kept as the dual-reference annotation column."""
     import csv
 
     path = f"{REF}/analysis/idgnn.csv"
@@ -159,7 +208,7 @@ def link_reference(layer: str, dataset: str, feature: str):
         return None, None
     with open(path, encoding="utf-8-sig") as f:
         for row in csv.DictReader(f):
-            if (row["task"] == "link_pred" and row["dataset"] == dataset
+            if (row["task"] == task and row["dataset"] == dataset
                     and row["layer"] == layer
                     and row["feature"] == feature):
                 return float(row["performance"]), float(row["std"])
@@ -377,8 +426,16 @@ def main():
                       flush=True)
                 continue
             accs = []
+            name = f"link_{layer}_{ds}" + ("_id" if feature else "")
             for i in range(args.repeat):
                 t0 = time.time()
+                acc = _disk_best_val(args.out, name, i + 1)
+                if acc is not None:
+                    accs.append(acc)
+                    print(f"link {layer}/{ds}/{feature or '-'} seed "
+                          f"{i+1}: acc={acc:.4f} (reused from disk)",
+                          flush=True)
+                    continue
                 cmd = [sys.executable, os.path.abspath(__file__),
                        "--single-link", layer, ds, feature or "-",
                        str(i + 1), "--epochs", str(args.epochs),
@@ -405,35 +462,31 @@ def main():
             if not accs:
                 continue
             ref, ref_std = link_reference(layer, ds, feature)
+            # dual-reference annotation: the csv's *edge*-task row for
+            # the same cell (supervision edges visible, ~1.0 for ID
+            # layers) — the diagnostic for protocol leaks
+            ref_e, ref_e_std = link_reference(layer, ds, feature,
+                                              task="edge")
             rows = [r for r in rows
                     if (r["layer"], r["dataset"], r["feature"])
                     != (layer, ds, feature)]
             ours = round(float(np.mean(accs)), 4)
+            ours_std = round(float(np.std(accs)), 4)
+            delta = (round(ours - ref, 4) if ref is not None else None)
             rows.append({
                 "layer": layer, "dataset": ds, "feature": feature,
                 "ours": ours,
-                "ours_std": round(float(np.std(accs)), 4),
+                "ours_std": ours_std,
                 "reference": ref, "reference_std": ref_std,
-                "delta": (round(ours - ref, 4)
-                          if ref is not None else None),
-                "pass_2sigma": (abs(ours - ref) <= max(2 * ref_std,
-                                                       0.03)
-                                if ref is not None else None),
+                "ref_edge": ref_e, "ref_edge_std": ref_e_std,
+                "delta": delta,
+                "pass_2sigma": pass_2sigma(delta, ref_std, ours_std),
                 "seeds": len(accs),
             })
             os.makedirs(args.out, exist_ok=True)
             with open(path, "w") as f:
                 json.dump(rows, f, indent=1)
-        with open(os.path.join(args.out, "LINK_PARITY.md"), "w") as f:
-            f.write("| layer | dataset | feature | ours | reference "
-                    "(±σ) | delta | ≤2σ |\n|---|---|---|---|---|---|"
-                    "---|\n")
-            for r in rows:
-                f.write(f"| {r['layer']} | {r['dataset']} | "
-                        f"{r['feature'] or '-'} | {r['ours']}"
-                        f"±{r['ours_std']} | {r['reference']}"
-                        f"±{r['reference_std']} | {r['delta']} | "
-                        f"{r['pass_2sigma']} |\n")
+        _write_link_markdown(args.out, rows)
         print(json.dumps(rows, indent=1))
         return
 
@@ -468,6 +521,14 @@ def main():
             accs = []
             for i in range(args.repeat):
                 t0 = time.time()
+                acc = _disk_best_val(args.out,
+                                     f"{model_key}_{dataset}", i + 1)
+                if acc is not None:
+                    accs.append(acc)
+                    print(f"{model_key}/{dataset} seed {i+1}: "
+                          f"acc={acc:.4f} (reused from disk)",
+                          flush=True)
+                    continue
                 acc = run_one_subprocess(model_key, dataset, i + 1,
                                          args.epochs, args.out)
                 if acc is None:
