@@ -242,6 +242,10 @@ def set_cfg(cfg: CfgNode) -> CfgNode:
     cfg.gnn.att_dropout = 0.0
     cfg.gnn.att_final_linear = False
     cfg.gnn.att_final_linear_bn = False
+    # GIN aggregation ablation (TPU-build extension): 'sum' is correct
+    # GIN; 'gcn'/'gcn_noself'/'mean' probe the reference's unpinned
+    # 2021 tf_geometric GIN internals (docs/PARITY_NOTES.md outliers)
+    cfg.gnn.gin_agg = "sum"
     cfg.gnn.l2norm = True
     cfg.gnn.keep_edge = 0.5
 

@@ -46,7 +46,8 @@ def make_conv(name: str, dim_out: int, gnn_cfg, use_bias: bool) -> nn.Module:
         "sageconv": lambda: L.SAGEConv(**common, combine="sum"),
         "gatconv": lambda: L.GATConv(**common, heads=heads,
                                      att_dropout=att_drop),
-        "ginconv": lambda: L.GINConv(dim_out),
+        "ginconv": lambda: L.GINConv(
+            dim_out, agg=getattr(gnn_cfg, "gin_agg", "sum")),
         "splineconv": lambda: L.SplineConv(**common),
         "generalconv": lambda: L.GeneralConv(
             **common, agg=gnn_cfg.agg, self_msg=gnn_cfg.self_msg,
@@ -95,7 +96,9 @@ def make_conv(name: str, dim_out: int, gnn_cfg, use_bias: bool) -> nn.Module:
                                            combine="concat"),
         "Tfg-gatconv": lambda: L.TfgGATConv(dim_out, heads=heads,
                                             att_dropout=att_drop),
-        "Tfg-ginconv": lambda: L.GINConv(dim_out, mlp_bn=True),
+        "Tfg-ginconv": lambda: L.GINConv(
+            dim_out, mlp_bn=True,
+            agg=getattr(gnn_cfg, "gin_agg", "sum")),
         "Tfg-idgcn": lambda: idl.GCNIDConv(dim_out, use_bias=True),
         "Tfg-idsage": lambda: idl.TfgIDSAGE(dim_out, use_bias=True),
         "Tfg-idgat": lambda: idl.TfgIDGAT(dim_out, heads=heads,

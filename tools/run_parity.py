@@ -275,6 +275,12 @@ def run_one_link(layer: str, dataset: str, feature: str, seed: int,
         "val": {"accuracy_average": "batch"},
         "train": {"batch_size": 32}})
     cfg.seed = seed
+    decode = os.environ.get("GRAPHGYM_EDGE_DECODING")
+    if decode:
+        # probe hook for the concat-vs-dot residual investigation
+        # (docs/PARITY_NOTES.md link section); never set for committed
+        # parity rows
+        cfg.model.edge_decoding = decode
     _match_link_budget(cfg)
     name = f"link_{layer}_{dataset}" + ("_id" if feature else "")
     cfg.out_dir = os.path.join(out_root, name, str(seed))
@@ -330,6 +336,12 @@ def run_one(model_key: str, dataset: str, seed: int, epochs,
         # some model/compile combinations hit remote-compile hangs on
         # this environment's TPU tunnel
         cfg.tpu.spmm_impl = impl_override
+    gin_agg = os.environ.get("GRAPHGYM_GIN_AGG")
+    if gin_agg:
+        # outlier-ablation hook (docs/PARITY_NOTES.md): probe which
+        # 2021 tf_geometric GIN aggregation reproduces the reference's
+        # ginconv artifacts; never set for committed parity rows
+        cfg.gnn.gin_agg = gin_agg
     cfg.seed = seed
     cfg.out_dir = os.path.join(out_root,
                                f"{model_key}_{dataset}", str(seed))
