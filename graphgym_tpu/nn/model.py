@@ -132,6 +132,7 @@ class GNNOptions:
     self_msg: str = "concat"
     att_heads: int = 1
     att_dropout: float = 0.0
+    gin_agg: str = "sum"
     att_final_linear: bool = False
     att_final_linear_bn: bool = False
     flow: str = "source_to_target"
@@ -340,6 +341,7 @@ def options_from_cfg(cfg) -> GNNOptions:
             dropout=0.0,
             att_heads=cfg.gnn.att_heads,
             att_dropout=cfg.gnn.att_dropout,
+            gin_agg=getattr(cfg.gnn, "gin_agg", "sum"),
             l2norm=False,
             bn_eps=cfg.bn.eps,
             bn_mom=cfg.bn.mom,
@@ -367,6 +369,7 @@ def options_from_cfg(cfg) -> GNNOptions:
         self_msg=cfg.gnn.self_msg,
         att_heads=cfg.gnn.att_heads,
         att_dropout=cfg.gnn.att_dropout,
+        gin_agg=getattr(cfg.gnn, "gin_agg", "sum"),
         att_final_linear=cfg.gnn.att_final_linear,
         att_final_linear_bn=cfg.gnn.att_final_linear_bn,
         flow=cfg.gnn.flow,
