@@ -600,6 +600,11 @@ def _default_supervision(g: HostGraph, cfg,
                 np.concatenate([msg_pairs, msg_pairs[::-1]], axis=1))
         else:
             pos = pairs
+        if os.environ.get("GRAPHGYM_LINK_BOTH_DIRS") == "1":
+            # protocol probe (docs/PARITY_NOTES.md): DeepSNAP stores
+            # undirected supervision edges in both directions — double
+            # the positives (and the negative draw scales with them)
+            pos = np.concatenate([pos, pos[::-1]], axis=1)
         ratio = (cfg.dataset.edge_negative_sampling_ratio
                  if split_index == 0 else 1.0)
         num_neg = int(pos.shape[1] * ratio)

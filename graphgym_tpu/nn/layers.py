@@ -33,7 +33,27 @@ from graphgym_tpu.nn.norm import MaskedBatchNorm, l2_normalize
 from graphgym_tpu.ops import segment as S
 from graphgym_tpu.ops import sparse as sp
 
-glorot = nn.initializers.glorot_uniform()
+# Kernel initializer with a switchable gain: the reference's torch
+# path re-initializes EVERY nn.Linear with xavier_uniform at
+# gain=calculate_gain('relu')=sqrt(2) and zero bias (init.py:6-16,
+# applied via model.apply(init_weights) in model_builder.py), while
+# the Tfg/Keras path keeps TF's glorot_uniform (gain 1).  build_model
+# selects the gain before constructing the model; params read it at
+# init-trace time.
+_GLOROT_SCALE = [1.0]   # gain^2 == variance_scaling scale
+
+
+def glorot(key, shape, dtype=jnp.float32):
+    return nn.initializers.variance_scaling(
+        _GLOROT_SCALE[0], "fan_avg", "uniform")(key, shape, dtype)
+
+
+def set_glorot_gain(gain: float) -> None:
+    """Set the xavier gain used by all subsequently-initialized kernels
+    (1.0 = TF/Keras glorot; sqrt(2) = the reference torch path)."""
+    _GLOROT_SCALE[0] = float(gain) ** 2
+
+
 zeros_init = nn.initializers.zeros
 
 

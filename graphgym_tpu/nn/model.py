@@ -413,7 +413,16 @@ class TfgAPPNPNet(nn.Module):
 
 
 def build_model(cfg) -> nn.Module:
-    """create_model equivalent (reference model_builder.py:15)."""
+    """create_model equivalent (reference model_builder.py:15).
+
+    Kernel init gain follows the backend being replicated: the torch
+    path re-initializes every Linear with xavier_uniform at
+    gain=sqrt(2) (reference init.py:6-16 via model.apply(init_weights));
+    the Tfg/Keras path keeps TF glorot (gain 1)."""
+    import math
+
+    L.set_glorot_gain(
+        1.0 if cfg.gnn.layer_type.startswith("Tfg-") else math.sqrt(2))
     if cfg.model.type in register.network_dict:
         return register.network_dict[cfg.model.type](options_from_cfg(cfg))
     if cfg.gnn.layer_type == "Tfg-appnp":

@@ -259,6 +259,11 @@ def run_one_link(layer: str, dataset: str, feature: str, seed: int,
     plat = os.environ.get("GRAPHGYM_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+    # parity fidelity: TPU matmuls default to bf16 MXU passes, which
+    # measurably shifts the fragile 100-epoch link-cell trajectories
+    # vs the torch/CPU f32 reference (observed 0.58 TPU vs 0.71 CPU on
+    # identical gcnidconv/ws runs); pin f32 accumulation for parity
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     cfg = get_cfg()
     cfg.merge_from_file(f"{REF}/run/configs/IDGNN/edge.yaml")
@@ -314,6 +319,8 @@ def run_one(model_key: str, dataset: str, seed: int, epochs,
     plat = os.environ.get("GRAPHGYM_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+    # f32 accumulation for parity runs (see run_one_link note)
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     cfg_dir, _ = MODELS[model_key]
     impl_override = os.environ.get("GRAPHGYM_SPMM_IMPL")
