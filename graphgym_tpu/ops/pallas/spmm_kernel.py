@@ -211,17 +211,27 @@ def _accumulate(onehot, msgw, acc_ref):
     two DEFAULT passes recovers f32 fidelity at 1/3 the HIGHEST cost.
     bf16 messages (mixed-precision training) take a one-pass path."""
     dn = (((0,), (0,)), ((), ()))
+    # Precision is controlled EXPLICITLY here (the hi/lo planes below
+    # implement the f32 path); pin DEFAULT so a global
+    # jax_default_matmul_precision=highest (set e.g. by the parity
+    # runner for the non-kernel matmuls) cannot leak in — Mosaic
+    # rejects fp32 contract precision on bf16 operands ("Bad lhs
+    # type") and HIGHEST would triple the pass count for nothing.
+    prec = jax.lax.Precision.DEFAULT
     if msgw.dtype == jnp.bfloat16:
         acc_ref[...] += jax.lax.dot_general(
-            onehot, msgw, dn, preferred_element_type=jnp.float32)
+            onehot, msgw, dn, preferred_element_type=jnp.float32,
+            precision=prec)
     else:
         hi = msgw.astype(jnp.bfloat16)
         lo = (msgw - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         acc_ref[...] += (
             jax.lax.dot_general(onehot, hi, dn,
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
             + jax.lax.dot_general(onehot, lo, dn,
-                                  preferred_element_type=jnp.float32))
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec))
 
 
 def _flush_bounds(tiles_ref):
