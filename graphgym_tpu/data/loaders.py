@@ -547,8 +547,10 @@ def split_dataset(graphs: List[HostGraph], cfg,
                             g["edge_feature"])
                 elif si == 0 and cfg.dataset.resample_negative:
                     # loader re-draws the negative half each epoch
-                    # (reference config.py:162-163)
+                    # (reference config.py:162-163); redraws exclude the
+                    # full edge set, not just the message graph
                     gg["_pos_pairs"] = pos.astype(np.int32)
+                    gg["_full_edge_index"] = g.edge_index.astype(np.int32)
                 splits[si].append(gg)
         else:
             raise ValueError(
@@ -625,6 +627,9 @@ def _default_supervision(g: HostGraph, cfg,
                 g["_full_edge_feature"] = full_edge_feature
         elif split_index == 0 and cfg.dataset.resample_negative:
             g["_pos_pairs"] = pos.astype(np.int32)
+            # per-epoch redraws must exclude the FULL edge set (incl.
+            # held-out supervision positives), not just message edges
+            g["_full_edge_index"] = full_edge_index.astype(np.int32)
 
 
 def _disjoint_split(pairs: np.ndarray, message_ratio: float, rng):
@@ -905,8 +910,9 @@ class GraphLoader:
                 pos = g["_pos_pairs"]
                 eli = np.asarray(g["edge_label_index"])
                 num_neg = eli.shape[1] - pos.shape[1]
-                neg = negative_sampling(g.edge_index, g.num_nodes,
-                                        num_neg, self.rng)
+                neg = negative_sampling(
+                    g.get("_full_edge_index", g.edge_index),
+                    g.num_nodes, num_neg, self.rng)
                 g["edge_label_index"] = np.concatenate(
                     [pos, neg], axis=1).astype(np.int32)
         # per-epoch node subsampling (reference cfg.train.sample_node /

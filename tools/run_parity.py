@@ -147,17 +147,33 @@ def _write_markdown(out_dir: str, rows) -> None:
                     f"{r.get('note', '') or ''} |\n")
 
 
-def _write_link_markdown(out_dir: str, rows) -> None:
-    with open(os.path.join(out_dir, "LINK_PARITY.md"), "w") as f:
-        f.write("Link-prediction parity vs analysis/idgnn.csv "
+def _write_link_markdown(out_dir: str, rows, prefix: str = "link"
+                         ) -> None:
+    fname = "LINK_PARITY.md" if prefix == "link" else "EDGE_PARITY.md"
+    with open(os.path.join(out_dir, fname), "w") as f:
+        if prefix == "link":
+            f.write(
+                "Link-prediction parity vs analysis/idgnn.csv "
                 "link_pred rows (held-out supervision protocol).  The "
                 "'ref edge-task' column is the csv's *edge* row for "
                 "the same cell — the leaky variant (supervision edges "
                 "visible; ~1.0 for ID layers): an 'ours' value "
                 "tracking that column instead of the link_pred one "
                 "indicates a protocol leak.\n\n")
+            dual_hdr = "ref edge-task (±σ)"
+        else:
+            f.write(
+                "Deliberate edge-task parity vs analysis/idgnn.csv "
+                "*edge* rows (reference run/grids/IDGNN/path.txt: "
+                "plain layers = DeepSNAP all-edges supervision, id "
+                "layers = shortest-path-length labels via path_len, "
+                "loader.py:162-164).  The dual column is the same "
+                "cell's link_pred row — the held-out protocol.  "
+                "Validates the dual-reference design from the edge "
+                "side (VERDICT r4 task 8).\n\n")
+            dual_hdr = "ref link_pred (±σ)"
         f.write("| layer | dataset | feature | ours | reference "
-                "(±σ) | ref edge-task (±σ) | delta | seeds | ≤2σ |\n"
+                f"(±σ) | {dual_hdr} | delta | seeds | ≤2σ |\n"
                 "|---|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             re_, rs_ = r.get("ref_edge"), r.get("ref_edge_std")
@@ -177,7 +193,8 @@ LINK_LAYERS = ["gcnconv", "sageconv", "gatconv", "ginconv",
 # the disjoint link-supervision fix).  Runs whose on-disk manifest
 # carries a different protocol are never silently merged.
 PROTOCOL_VERSION = 2
-_PROBE_ENVS = ("GRAPHGYM_GIN_AGG", "GRAPHGYM_EDGE_DECODING")
+_PROBE_ENVS = ("GRAPHGYM_GIN_AGG", "GRAPHGYM_EDGE_DECODING",
+               "GRAPHGYM_LINK_PROBE")
 
 
 def _run_manifest(kind: str, key: str, dataset: str, feature: str,
@@ -300,13 +317,18 @@ def _match_link_budget(cfg) -> None:
 
 
 def run_one_link(layer: str, dataset: str, feature: str, seed: int,
-                 epochs, out_root: str):
+                 epochs, out_root: str, task: str = "link_pred"):
     """One link-prediction parity cell per reference
     run/grids/IDGNN/link.txt (ws/ba rows): base run/configs/IDGNN/
     edge.yaml (the link-pred base: concat edge decoding, disjoint
     edge_train_mode, augment_feature_dims [10]) + the grid's overrides.
     idconv layers use transform 'edge' (reference link.txt:21), plain
-    layers 'none' (link.txt:5)."""
+    layers 'none' (link.txt:5).
+
+    task='edge' runs the deliberate edge-task protocol instead
+    (reference run/grids/IDGNN/path.txt:1-18): plain layers get
+    DeepSNAP's leaky all-edges supervision, id layers get the
+    shortest-path-length labels (loader.py:162-164 path_len)."""
     from graphgym_tpu.config import assert_cfg, get_cfg
     from graphgym_tpu.data.loaders import create_dataset, create_loader
     from graphgym_tpu.nn.model import build_model
@@ -328,7 +350,7 @@ def run_one_link(layer: str, dataset: str, feature: str, seed: int,
     cfg.merge_from_file(f"{REF}/run/configs/IDGNN/edge.yaml")
     cfg.merge_from_dict({
         "dataset": {"format": "nx", "name": dataset,
-                    "task": "link_pred",
+                    "task": task,
                     "transform": ("edge" if "id" in layer else "none"),
                     "transductive": False,
                     "augment_feature": ([feature] if feature else []),
@@ -345,11 +367,21 @@ def run_one_link(layer: str, dataset: str, feature: str, seed: int,
         # (docs/PARITY_NOTES.md link section); never set for committed
         # parity rows
         cfg.model.edge_decoding = decode
+    probe = os.environ.get("GRAPHGYM_LINK_PROBE")
+    if probe:
+        # generic ablation hook for the ws link-deficit investigation
+        # (VERDICT r4 weak #1): comma-separated dotted overrides, e.g.
+        # "dataset.resample_negative=True,train.eval_period=1".
+        # Manifest-tracked; refused on the canonical parity out dir.
+        for kv in probe.split(","):
+            key, val = kv.split("=", 1)
+            cfg.merge_from_list([key.strip(), val.strip()])
     _match_link_budget(cfg)
-    name = f"link_{layer}_{dataset}" + ("_id" if feature else "")
+    prefix = "link" if task == "link_pred" else "edge"
+    name = f"{prefix}_{layer}_{dataset}" + ("_id" if feature else "")
     cfg.out_dir = os.path.join(out_root, name, str(seed))
     _prepare_run_dir(cfg.out_dir,
-                     _run_manifest("link", layer, dataset, feature,
+                     _run_manifest(prefix, layer, dataset, feature,
                                    epochs))
     # queue-timeout insurance: checkpoint often enough that a killed
     # run resumes instead of restarting (VERDICT r4 weak #3)
@@ -486,11 +518,23 @@ def main():
                    help="run the link-prediction parity sweep "
                         "(reference run/grids/IDGNN/link.txt ws/ba vs "
                         "analysis/idgnn.csv)")
+    p.add_argument("--edge", action="store_true",
+                   help="run the deliberate edge-task sweep "
+                        "(reference run/grids/IDGNN/path.txt vs "
+                        "analysis/idgnn.csv edge rows)")
     p.add_argument("--layers", nargs="+", default=LINK_LAYERS,
-                   help="link mode: layer subset")
+                   help="link/edge mode: layer subset")
+    p.add_argument("--link-datasets", nargs="+", default=["ws", "ba"],
+                   help="link/edge mode: dataset subset")
     p.add_argument("--single-link", nargs=4,
                    metavar=("LAYER", "DS", "FEATURE", "SEED"),
                    help="internal: one link-pred run in-process")
+    p.add_argument("--task", default="link_pred",
+                   choices=["link_pred", "edge"],
+                   help="task for --single-link runs")
+    p.add_argument("--harvest", action="store_true",
+                   help="merge completed on-disk seeds into rows "
+                        "without launching new runs")
     args = p.parse_args()
 
     probes = [k for k in _PROBE_ENVS if os.environ.get(k)]
@@ -504,14 +548,16 @@ def main():
         layer, ds, feature, seed = args.single_link
         feature = "" if feature == "-" else feature
         acc = run_one_link(layer, ds, feature, int(seed), args.epochs,
-                           args.out)
+                           args.out, task=args.task)
         if acc is not None:
             print(f"SINGLE_RESULT {acc}", flush=True)
         return
 
-    if args.link:
+    if args.link or args.edge:
         import subprocess
-        path = os.path.join(args.out, "link_parity.json")
+        task = "edge" if args.edge else "link_pred"
+        prefix = "edge" if args.edge else "link"
+        path = os.path.join(args.out, f"{prefix}_parity.json")
         rows = []
         if os.path.exists(path):
             with open(path) as f:
@@ -519,38 +565,40 @@ def main():
         done = {(r["layer"], r["dataset"], r["feature"]) for r in rows
                 if r.get("seeds", 0) >= args.repeat}
         cells = [(ly, ds, ft) for ly in args.layers
-                 for ds in ("ws", "ba")
+                 for ds in args.link_datasets
                  for ft in (("",) if "id" in ly
                             else ("", "node_identity"))]
         for layer, ds, feature in cells:
             if (layer, ds, feature) in done:
-                print(f"skip link {layer}/{ds}/{feature or '-'}",
+                print(f"skip {prefix} {layer}/{ds}/{feature or '-'}",
                       flush=True)
                 continue
             accs = []
-            name = f"link_{layer}_{ds}" + ("_id" if feature else "")
-            manifest = _run_manifest("link", layer, ds, feature,
+            name = f"{prefix}_{layer}_{ds}" + ("_id" if feature else "")
+            manifest = _run_manifest(prefix, layer, ds, feature,
                                      args.epochs)
             for i in range(args.repeat):
                 t0 = time.time()
                 acc = _disk_best_val(args.out, name, i + 1, manifest)
                 if acc is not None:
                     accs.append(acc)
-                    print(f"link {layer}/{ds}/{feature or '-'} seed "
-                          f"{i+1}: acc={acc:.4f} (reused from disk)",
-                          flush=True)
+                    print(f"{prefix} {layer}/{ds}/{feature or '-'} "
+                          f"seed {i+1}: acc={acc:.4f} (reused from "
+                          f"disk)", flush=True)
+                    continue
+                if args.harvest:
                     continue
                 cmd = [sys.executable, os.path.abspath(__file__),
                        "--single-link", layer, ds, feature or "-",
                        str(i + 1), "--epochs", str(args.epochs),
-                       "--out", args.out]
+                       "--task", task, "--out", args.out]
                 acc = None
                 for attempt in range(3):   # timeouts resume from ckpt
                     try:
                         proc = subprocess.run(cmd, capture_output=True,
                                               text=True, timeout=4000)
                     except subprocess.TimeoutExpired:
-                        print(f"TIMEOUT link {layer}/{ds} "
+                        print(f"TIMEOUT {prefix} {layer}/{ds} "
                               f"(attempt {attempt + 1})", flush=True)
                         continue
                     for line in proc.stdout.splitlines():
@@ -558,24 +606,26 @@ def main():
                             acc = float(line.split()[1])
                     if acc is not None:
                         break
-                    print(f"FAILED link {layer}/{ds} "
+                    print(f"FAILED {prefix} {layer}/{ds} "
                           f"(attempt {attempt + 1}): "
                           f"{proc.stdout[-200:]} {proc.stderr[-200:]}",
                           flush=True)
                 if acc is None:
                     break
                 accs.append(acc)
-                print(f"link {layer}/{ds}/{feature or '-'} seed "
+                print(f"{prefix} {layer}/{ds}/{feature or '-'} seed "
                       f"{i+1}: acc={acc:.4f} ({time.time()-t0:.0f}s)",
                       flush=True)
             if not accs:
                 continue
-            ref, ref_std = link_reference(layer, ds, feature)
-            # dual-reference annotation: the csv's *edge*-task row for
-            # the same cell (supervision edges visible, ~1.0 for ID
-            # layers) — the diagnostic for protocol leaks
+            # primary reference = the sweep's own task row; dual
+            # annotation = the other task's row for the same cell (for
+            # link mode the leaky edge task, ~1.0 for ID layers — the
+            # protocol-leak diagnostic; for edge mode the link_pred row)
+            ref, ref_std = link_reference(layer, ds, feature, task=task)
+            dual = "edge" if task == "link_pred" else "link_pred"
             ref_e, ref_e_std = link_reference(layer, ds, feature,
-                                              task="edge")
+                                              task=dual)
             rows = [r for r in rows
                     if (r["layer"], r["dataset"], r["feature"])
                     != (layer, ds, feature)]
@@ -595,7 +645,7 @@ def main():
             os.makedirs(args.out, exist_ok=True)
             with open(path, "w") as f:
                 json.dump(rows, f, indent=1)
-        _write_link_markdown(args.out, rows)
+        _write_link_markdown(args.out, rows, prefix=prefix)
         print(json.dumps(rows, indent=1))
         return
 
@@ -640,6 +690,8 @@ def main():
                     print(f"{model_key}/{dataset} seed {i+1}: "
                           f"acc={acc:.4f} (reused from disk)",
                           flush=True)
+                    continue
+                if args.harvest:
                     continue
                 acc = run_one_subprocess(model_key, dataset, i + 1,
                                          args.epochs, args.out)
