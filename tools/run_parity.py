@@ -136,7 +136,7 @@ def _write_markdown(out_dir: str, rows) -> None:
         f.write("| model | dataset | ours | reference (±σ) | delta | "
                 "seeds | ≤2σ | note |\n")
         f.write("|---|---|---|---|---|---|---|---|\n")
-        for r in rows:
+        for r in sorted(rows, key=lambda r: (r["model"], r["dataset"])):
             rs = r.get("reference_std")
             rs = "?" if rs is None else round(rs, 4)
             f.write(f"| {r['model']} | {r['dataset']} | "
@@ -175,7 +175,8 @@ def _write_link_markdown(out_dir: str, rows, prefix: str = "link"
         f.write("| layer | dataset | feature | ours | reference "
                 f"(±σ) | {dual_hdr} | delta | seeds | ≤2σ |\n"
                 "|---|---|---|---|---|---|---|---|---|\n")
-        for r in rows:
+        for r in sorted(rows, key=lambda r: (r["layer"], r["dataset"],
+                                             r["feature"])):
             re_, rs_ = r.get("ref_edge"), r.get("ref_edge_std")
             edge_col = (f"{re_}±{rs_}" if re_ is not None else "-")
             f.write(f"| {r['layer']} | {r['dataset']} | "
@@ -243,6 +244,33 @@ def _prepare_run_dir(run_dir: str, manifest: dict) -> None:
         shutil.rmtree(os.path.join(run_dir, "ckpt"), ignore_errors=True)
     with open(os.path.join(run_dir, "run_manifest.json"), "w") as f:
         json.dump(manifest, f)
+
+
+def _update_row(path: str, key_fields, new_row) -> list:
+    """Atomically merge one row into a parity json file.  Two queue
+    streams (TPU id-cells, CPU plain/Fast cells) sweep concurrently in
+    round 5 — holding the row list in memory across a long run would
+    let the later writer drop the earlier writer's rows, so each
+    update re-reads under an exclusive lock and rewrites."""
+    import fcntl
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        rows = []
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    rows = json.load(f)
+            except ValueError:
+                rows = []
+        key = tuple(new_row[k] for k in key_fields)
+        rows = [r for r in rows
+                if tuple(r.get(k) for k in key_fields) != key]
+        rows.append(new_row)
+        with open(path, "w") as f:
+            json.dump(rows, f, indent=1)
+    return rows
 
 
 def _disk_best_val(out_root: str, name: str, seed: int,
@@ -626,13 +654,10 @@ def main():
             dual = "edge" if task == "link_pred" else "link_pred"
             ref_e, ref_e_std = link_reference(layer, ds, feature,
                                               task=dual)
-            rows = [r for r in rows
-                    if (r["layer"], r["dataset"], r["feature"])
-                    != (layer, ds, feature)]
             ours = round(float(np.mean(accs)), 4)
             ours_std = round(float(np.std(accs)), 4)
             delta = (round(ours - ref, 4) if ref is not None else None)
-            rows.append({
+            rows = _update_row(path, ("layer", "dataset", "feature"), {
                 "layer": layer, "dataset": ds, "feature": feature,
                 "ours": ours,
                 "ours_std": ours_std,
@@ -642,9 +667,6 @@ def main():
                 "pass_2sigma": pass_2sigma(delta, ref_std, ours_std),
                 "seeds": len(accs),
             })
-            os.makedirs(args.out, exist_ok=True)
-            with open(path, "w") as f:
-                json.dump(rows, f, indent=1)
         _write_link_markdown(args.out, rows, prefix=prefix)
         print(json.dumps(rows, indent=1))
         return
@@ -708,10 +730,7 @@ def main():
             ours = round(float(np.mean(accs)), 4)
             ours_std = round(float(np.std(accs)), 4)
             delta = round(ours - ref, 4) if ref is not None else None
-            # replace any stale partial row for this combo
-            rows = [r for r in rows
-                    if (r["model"], r["dataset"]) != (model_key, dataset)]
-            rows.append({
+            rows = _update_row(path, ("model", "dataset"), {
                 "model": model_key, "dataset": dataset,
                 "ours": ours, "ours_std": ours_std,
                 "reference": ref, "reference_std": ref_std,
@@ -719,8 +738,6 @@ def main():
                 "pass_2sigma": pass_2sigma(delta, ref_std, ours_std),
                 "seeds": len(accs),
             })
-            with open(os.path.join(args.out, "parity.json"), "w") as f:
-                json.dump(rows, f, indent=1)
     # markdown summary
     os.makedirs(args.out, exist_ok=True)
     _write_markdown(args.out, rows)
