@@ -216,16 +216,25 @@ def round_up(x: int, multiple: int) -> int:
 
 
 def bucket_size(n: int, multiple: int = 8, min_size: int = 8) -> int:
-    """Power-of-two-ish bucketing to bound XLA recompilations.
+    """Quarter-step bucketing to bound XLA recompilations.
 
-    Returns the smallest value >= n of the form m * 2^k with m in
-    {multiple}, giving at most ~2x padding overhead while keeping the
-    number of distinct compiled shapes logarithmic.
-    """
+    Returns the smallest value >= n of the form m * 2^k with
+    m in {4, 5, 6, 7}, i.e. powers of two refined by quarter steps.
+    Worst-case padding is 25% (a loader compiles one shape for all its
+    batches, so finer buckets cost no extra compilations — they only
+    improve cross-loader shape reuse odds vs exact sizing).  The old
+    pure power-of-two buckets padded up to 2x, which at the ID-GAT
+    ego-union shapes doubled every [E, D] message buffer and pushed
+    the batch over HBM (round-4 OOM, docs/PARITY_NOTES.md)."""
     n = max(n, min_size)
     size = min_size
     while size < n:
         size *= 2
+    # refine: walk back down in quarter steps of the bracket
+    for m in (4, 5, 6, 7):
+        cand = size // 8 * m
+        if cand >= n:
+            return round_up(max(cand, min_size), multiple)
     return round_up(size, multiple)
 
 

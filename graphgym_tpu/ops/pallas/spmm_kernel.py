@@ -201,37 +201,42 @@ def pad_pack(pack: PackedCSR, pad_chunks_to: int, num_nodes: int,
              np.full((extra,), num_tiles - 1, np.int32)]))
 
 
-def _accumulate(onehot, msgw, acc_ref):
-    """acc += onehot^T @ msgw on the MXU.
+# MXU precision note (applies to every dot below): the MXU's DEFAULT
+# f32 path rounds operands through bfloat16 (observed ~1e-2 relative
+# error on sums) and Mosaic only offers DEFAULT or 6-pass HIGHEST.
+# The one-hot side is exact in bf16 (entries 0/1), so splitting the
+# message into hi/lo bf16 planes and summing DEFAULT passes recovers
+# ~f32 fidelity at a fraction of the HIGHEST cost.  Precision is
+# pinned to DEFAULT explicitly so a global
+# jax_default_matmul_precision=highest (set e.g. by the parity runner
+# for the non-kernel matmuls) cannot leak in — Mosaic rejects fp32
+# contract precision on bf16 operands ("Bad lhs type") and HIGHEST
+# would triple the pass count for nothing.
+_DN_T = (((1,), (0,)), ((), ()))   # onehotT [R, C] contracts with [C, D]
+_PREC = jax.lax.Precision.DEFAULT
 
-    The MXU's DEFAULT f32 path rounds operands through bfloat16
-    (observed ~1e-2 relative error on sums) and Mosaic only offers
-    DEFAULT or 6-pass HIGHEST.  The one-hot side is exact in bf16
-    (entries 0/1), so splitting msgw into hi/lo bf16 planes and doing
-    two DEFAULT passes recovers f32 fidelity at 1/3 the HIGHEST cost.
-    bf16 messages (mixed-precision training) take a one-pass path."""
-    dn = (((0,), (0,)), ((), ()))
-    # Precision is controlled EXPLICITLY here (the hi/lo planes below
-    # implement the f32 path); pin DEFAULT so a global
-    # jax_default_matmul_precision=highest (set e.g. by the parity
-    # runner for the non-kernel matmuls) cannot leak in — Mosaic
-    # rejects fp32 contract precision on bf16 operands ("Bad lhs
-    # type") and HIGHEST would triple the pass count for nothing.
-    prec = jax.lax.Precision.DEFAULT
+
+def _dot_t(lhs, rhs):
+    return jax.lax.dot_general(lhs, rhs, _DN_T,
+                               preferred_element_type=jnp.float32,
+                               precision=_PREC)
+
+
+def _split_hi_lo(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _accumulate(onehot_t, msgw, acc_ref):
+    """acc += onehot_t @ msgw on the MXU (onehot_t is [R, C], exact
+    bf16; msgw [C, D]).  f32 messages run the two-pass hi/lo scheme,
+    bf16 messages (mixed-precision training) one pass."""
     if msgw.dtype == jnp.bfloat16:
-        acc_ref[...] += jax.lax.dot_general(
-            onehot, msgw, dn, preferred_element_type=jnp.float32,
-            precision=prec)
+        acc_ref[...] += _dot_t(onehot_t, msgw)
     else:
-        hi = msgw.astype(jnp.bfloat16)
-        lo = (msgw - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc_ref[...] += (
-            jax.lax.dot_general(onehot, hi, dn,
-                                preferred_element_type=jnp.float32,
-                                precision=prec)
-            + jax.lax.dot_general(onehot, lo, dn,
-                                  preferred_element_type=jnp.float32,
-                                  precision=prec))
+        hi, lo = _split_hi_lo(msgw)
+        acc_ref[...] += _dot_t(onehot_t, hi) + _dot_t(onehot_t, lo)
 
 
 def _flush_bounds(tiles_ref):
@@ -242,34 +247,68 @@ def _flush_bounds(tiles_ref):
     return first, last
 
 
-def _onehot(local, rows_per_tile):
-    cols = jax.lax.broadcasted_iota(
-        jnp.int32, (local.shape[0], rows_per_tile), 1)
-    return jnp.where(local == cols, 1.0, 0.0).astype(jnp.bfloat16)
+def _onehot_t(local_row, rows_per_tile):
+    """Transposed one-hot [R, C] from a LANE-major local-row vector
+    [1, C]: rows iota along sublanes compared against the broadcast
+    slot values.  Lane-major scalars matter for memory, not math: a
+    [NC, C, 1] operand's HBM tiled layout pads the unit minor dim to
+    128 lanes (measured 1.98 GiB of pure padding at the ID-GAT/ba
+    ego-union shapes — the round-4 OOM); the [NC, C] layout pads
+    nothing and the sublane broadcast here is free on the VPU."""
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (rows_per_tile, local_row.shape[-1]), 0)
+    # arithmetic form (max(1-|rows-local|, 0)) instead of a boolean
+    # compare: Mosaic cannot replicate-relayout packed i1 vectors
+    # ("Invalid relayout ... vector<128x1024xi1>"), while the int32
+    # broadcast subtract is supported
+    return jnp.maximum(1 - jnp.abs(rows - local_row), 0).astype(
+        jnp.float32)                              # [R, C] 0/1
 
 
-def _group_reduce(msgw, local, group):
+def _chunk_row(ref):
+    """This grid step's [1, C] slice of a 2-D lane-major per-slot
+    stream.  Blocks are (8, C) at index i//8 — Mosaic requires the
+    sublane dim of a block to be 8-divisible (a (1, C) block is
+    rejected) — so step i selects sublane i % 8 of its block; the
+    block itself is refetched only every 8 steps."""
+    sub = jax.lax.rem(pl.program_id(0), 8)
+    return ref[pl.ds(sub, 1), :]
+
+
+def _pad8_rows(a):
+    """Pad dim 0 up to a multiple of 8 so (8, C) scalar blocks never
+    read past the array (values in the pad rows are never selected)."""
+    pad = (-a.shape[0]) % 8
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+    return a
+
+
+def _group_reduce(msgw, local_row, group):
     """VPU pre-reduction: sum aligned groups of `group` slots (each
     row-pure by pack construction), cutting the MXU contraction depth
     by `group`.  Exact f32 adds in fixed order.
 
     The reshape [C, D] -> [C/G, G*D] is layout-free (G consecutive
     slots land side-by-side in lanes), so the reduction is G-1 adds of
-    contiguous 128-lane blocks — no sublane striding."""
+    contiguous 128-lane blocks — no sublane striding.  The grouped
+    local-row vector is the strided lane slice [:, ::G] (group slots
+    are row-pure by construction); G=1 (the shipped default) skips
+    everything."""
     if group <= 1:
-        return msgw, local
+        return msgw, local_row
     c, d = msgw.shape
     wide = msgw.reshape(c // group, group * d)
     acc = wide[:, :d]
     for gi in range(1, group):
         acc = acc + wide[:, gi * d:(gi + 1) * d]
-    local = local.reshape(c // group, group, 1)[:, 0]
-    return acc, local
+    return acc, local_row[:, ::group]
 
 
 def _kernel(tiles_ref, local_ref, msg_ref, out_ref, acc_ref, *,
             rows_per_tile, group):
-    """One chunk per grid step: acc += onehot^T @ msg; flush on last
+    """One chunk per grid step: acc += onehot_t @ msg; flush on last
     chunk of each tile (pallas writes out_ref back when the out block
     index changes)."""
     first, last = _flush_bounds(tiles_ref)
@@ -280,11 +319,12 @@ def _kernel(tiles_ref, local_ref, msg_ref, out_ref, acc_ref, *,
 
     msg = msg_ref[0]
     in_bf16 = msg.dtype == jnp.bfloat16
-    msgw, local = _group_reduce(msg.astype(jnp.float32), local_ref[0],
-                                group)
+    msgw, local = _group_reduce(msg.astype(jnp.float32),
+                                _chunk_row(local_ref), group)
     if in_bf16:
         msgw = msgw.astype(jnp.bfloat16)
-    _accumulate(_onehot(local, rows_per_tile), msgw, acc_ref)
+    _accumulate(_onehot_t(local, rows_per_tile).astype(jnp.bfloat16),
+                msgw, acc_ref)
 
     @pl.when(last)
     def _():
@@ -293,10 +333,18 @@ def _kernel(tiles_ref, local_ref, msg_ref, out_ref, acc_ref, *,
 
 def _kernel_weighted(tiles_ref, local_ref, w_ref, msg_ref, out_ref,
                      acc_ref, *, rows_per_tile, group, out_dtype):
-    """Weighted variant: the per-edge weight multiply (and the f32
-    hi/lo split) runs on the VPU inside the kernel, so the caller feeds
-    the *raw* gather output — no separate XLA multiply pass over the
-    [E, D] message stream (saves one full HBM round trip)."""
+    """Weighted variant: the per-edge weight rides the ONE-HOT operand
+    (weighted-hot: whot_t[r, c] = w[c] where local[c] == r, else 0), so
+    the caller feeds the *raw* gather output — no separate XLA multiply
+    pass over the [E, D] message stream, and no sublane-major weight
+    vector (the [NC, C, 1] layout whose 128x HBM padding OOM'd the
+    ID-GAT/ba cells).
+
+    Precision: w and msg are split into bf16 hi/lo planes; the three
+    products w_hi*m_hi + w_hi*m_lo + w_lo*m_hi reconstruct the f32
+    product up to the dropped w_lo*m_lo term (~2^-16 relative — same
+    order as the two-pass scheme's residual).  bf16 messages take a
+    one-pass path with bf16 weights."""
     first, last = _flush_bounds(tiles_ref)
 
     @pl.when(first)
@@ -304,12 +352,21 @@ def _kernel_weighted(tiles_ref, local_ref, w_ref, msg_ref, out_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     msg = msg_ref[0]
-    w = w_ref[0].astype(jnp.float32)            # [C, 1]
-    msgw = msg.astype(jnp.float32) * w
-    msgw, local = _group_reduce(msgw, local_ref[0], group)
+    msgw, local = _group_reduce(msg.astype(jnp.float32),
+                                _chunk_row(local_ref), group)
+    onehot = _onehot_t(local, rows_per_tile)        # [R, C] 0/1 f32
+    w = _chunk_row(w_ref).astype(jnp.float32)       # [1, C]
+    if group > 1:
+        w = w[:, ::group]
+    whot = onehot * w                               # exact f32 products
     if msg.dtype == jnp.bfloat16:
-        msgw = msgw.astype(jnp.bfloat16)
-    _accumulate(_onehot(local, rows_per_tile), msgw, acc_ref)
+        acc_ref[...] += _dot_t(whot.astype(jnp.bfloat16),
+                               msgw.astype(jnp.bfloat16))
+    else:
+        w_hi, w_lo = _split_hi_lo(whot)
+        m_hi, m_lo = _split_hi_lo(msgw)
+        acc_ref[...] += (_dot_t(w_hi, m_hi) + _dot_t(w_hi, m_lo)
+                         + _dot_t(w_lo, m_hi))
 
     @pl.when(last)
     def _():
@@ -338,7 +395,13 @@ def packed_segment_matmul(msg: jnp.ndarray, local_rows: jnp.ndarray,
     # guard the tiles[i+1] / tiles[i-1] neighbor reads at the ends
     tiles = jnp.concatenate([tiles, tiles[-1:]])
     chunk1 = lambda i, tiles: (i, 0, 0)  # noqa: E731
-    local_spec = pl.BlockSpec((1, c, 1), chunk1, memory_space=pltpu.VMEM)
+    # per-slot scalar streams stay 2-D [NC, C] (lane-major): a [NC, C,
+    # 1] layout's HBM tiling pads the unit minor dim 128x (the round-4
+    # ID-GAT/ba OOM — 1.98 GiB of padding); [NC, C] pads nothing.
+    # Blocks are (8, C) at i//8 (Mosaic rejects 1-sublane blocks);
+    # _chunk_row selects the step's sublane
+    row2 = lambda i, tiles: (i // 8, 0)  # noqa: E731
+    local_spec = pl.BlockSpec((8, c), row2, memory_space=pltpu.VMEM)
     msg_spec = pl.BlockSpec((1, c, d), chunk1, memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((R, d), lambda i, tiles: (tiles[i], 0),
                             memory_space=pltpu.VMEM)
@@ -346,15 +409,18 @@ def packed_segment_matmul(msg: jnp.ndarray, local_rows: jnp.ndarray,
         kernel = functools.partial(_kernel, rows_per_tile=R,
                                    group=group)
         in_specs = [local_spec, msg_spec]
-        args = (tiles, local_rows[..., None], msg)
+        args = (tiles, _pad8_rows(local_rows), msg)
     else:
+        assert group <= 1, (
+            "weighted packed_segment_matmul does not support group>1 "
+            "(per-slot weights ride the one-hot operand; grouped slots "
+            "would need uniform weights)")
         kernel = functools.partial(_kernel_weighted, rows_per_tile=R,
                                    group=group, out_dtype=jnp.float32)
         in_specs = [local_spec,
-                    pl.BlockSpec((1, c, 1), chunk1,
-                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8, c), row2, memory_space=pltpu.VMEM),
                     msg_spec]
-        args = (tiles, local_rows[..., None], weights[..., None], msg)
+        args = (tiles, _pad8_rows(local_rows), _pad8_rows(weights), msg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nc,),
@@ -470,10 +536,15 @@ segment_matmul_vjp.defvjp(_segmm_fwd, _segmm_bwd)
 
 def _kernel_headed(tiles_ref, local_ref, w_ref, msg_ref, out_ref,
                    acc_ref, *, rows_per_tile, heads):
-    """Per-head weighted variant for attention: weights [C, H] multiply
-    msg viewed as [C, H, dv] per head on the VPU, then the usual one-hot
-    accumulation.  Traced weights (softmax'd attention coefficients)
-    differentiate through segment_matmul_headed_vjp."""
+    """Per-head weighted variant for attention: head h's traced
+    coefficient w[c, h] (delivered lane-major as [1, H*C] — see the
+    layout note on _onehot_t) rides the one-hot operand exactly like
+    _kernel_weighted; for H > 1 each head runs its own weighted-hot
+    matmul and a column mask keeps only that head's dv output lanes
+    (every practical config here is H=1, which skips the mask and the
+    loop; multi-head pays H matmul sets).  Traced weights (softmax'd
+    attention coefficients) differentiate through
+    segment_matmul_headed_vjp."""
     first, last = _flush_bounds(tiles_ref)
 
     @pl.when(first)
@@ -483,13 +554,27 @@ def _kernel_headed(tiles_ref, local_ref, w_ref, msg_ref, out_ref,
     msg = msg_ref[0]
     c, hd = msg.shape
     dv = hd // heads
-    w = w_ref[0].astype(jnp.float32)            # [C, H]
-    # broadcast each head's weight across its dv lanes
-    w_wide = jnp.repeat(w, dv, axis=1)          # [C, H*dv]
-    msgw = msg.astype(jnp.float32) * w_wide
-    if msg.dtype == jnp.bfloat16:
-        msgw = msgw.astype(jnp.bfloat16)
-    _accumulate(_onehot(local_ref[0], rows_per_tile), msgw, acc_ref)
+    onehot = _onehot_t(_chunk_row(local_ref), rows_per_tile)  # [R, C]
+    in_bf16 = msg.dtype == jnp.bfloat16
+    if in_bf16:
+        m = msg
+    else:
+        m_hi, m_lo = _split_hi_lo(msg.astype(jnp.float32))
+    w_all = _chunk_row(w_ref)                              # [1, H*C]
+    for h in range(heads):
+        w_h = w_all[:, h * c:(h + 1) * c].astype(jnp.float32)
+        whot = onehot * w_h                                # [R, C]
+        if in_bf16:
+            part = _dot_t(whot.astype(jnp.bfloat16), m)
+        else:
+            w_hi, w_lo = _split_hi_lo(whot)
+            part = (_dot_t(w_hi, m_hi) + _dot_t(w_hi, m_lo)
+                    + _dot_t(w_lo, m_hi))
+        if heads > 1:
+            cols = jax.lax.broadcasted_iota(jnp.int32,
+                                            (rows_per_tile, hd), 1)
+            part = jnp.where(cols // dv == h, part, 0.0)
+        acc_ref[...] += part
 
     @pl.when(last)
     def _():
@@ -512,12 +597,17 @@ def packed_segment_matmul_headed(msg: jnp.ndarray, weights: jnp.ndarray,
         interpret = True
     tiles = jnp.concatenate([tiles, tiles[-1:]])
     chunk1 = lambda i, tiles: (i, 0, 0)  # noqa: E731
+    row2 = lambda i, tiles: (i // 8, 0)  # noqa: E731
+    # lane-major scalar streams (see _onehot_t layout note): weights
+    # arrive [NC, C, H] from the caller and are re-laid head-major to
+    # a padding-free 2-D [NC, H*C] before the kernel
+    w2 = jnp.transpose(weights, (0, 2, 1)).reshape(nc, heads * c)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((1, c, 1), chunk1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, heads), chunk1,
+            pl.BlockSpec((8, c), row2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, heads * c), row2,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, hd), chunk1, memory_space=pltpu.VMEM),
         ],
@@ -532,7 +622,7 @@ def packed_segment_matmul_headed(msg: jnp.ndarray, weights: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(tiles, local_rows[..., None], weights, msg)
+    )(tiles, _pad8_rows(local_rows), _pad8_rows(w2), msg)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

@@ -185,3 +185,89 @@ class TestHeadedKernel:
                                    rtol=1e-3, atol=1e-3)
         np.testing.assert_allclose(np.asarray(g_a), ref_a,
                                    rtol=1e-3, atol=1e-3)
+
+
+class TestEgoUnionShapes:
+    """Shape-regression guard for the round-4 ID-GAT/ba OOM (VERDICT r4
+    task 3): the per-slot scalar streams ([NC, C] local rows / weights)
+    must stay 2-D lane-major all the way into pallas_call — a
+    [NC, C, 1] layout's HBM tiling pads the unit minor dim to 128
+    lanes, which at the ba ego-union scale (NC ~ 4k chunks) is ~2 GiB
+    of pure padding and OOMs the chip.  Interpret mode can't measure
+    HBM, so this asserts the layout contract (operand ranks/shapes)
+    and exercises the kernel at a scaled-down ego-union-like profile
+    (many chunks, H=1) through values and both gradients."""
+
+    def test_headed_kernel_scalar_operands_stay_2d(self):
+        import jax
+        import jax.numpy as jnp
+
+        n, e, h, dv = 2048, 30000, 1, 64
+        rng = np.random.default_rng(3)
+        s = rng.integers(0, n, e).astype(np.int32)
+        r = rng.integers(0, n, e).astype(np.int32)
+        pack = K.pack_csr(s, r, None, n)
+        nc, c = pack.senders.shape
+        msg = rng.normal(size=(nc, c, h * dv)).astype(np.float32)
+        alpha = (rng.random((nc, c, h)).astype(np.float32)
+                 * (np.asarray(pack.weights) > 0)[..., None])
+
+        # layout contract: the jaxpr feeding pallas_call must carry the
+        # scalar streams as rank-2 (lane-major) operands — a rank-3
+        # [NC, C, 1]/[NC, C, H] operand is the OOM regression
+        jaxpr = jax.make_jaxpr(
+            lambda m, a: K.segment_matmul_headed_vjp(
+                m, a, pack.local_rows, pack.tiles, n, h))(
+            jnp.asarray(msg), jnp.asarray(alpha))
+        found = []
+
+        def walk(jx):
+            for eq in jx.eqns:
+                if eq.primitive.name == "pallas_call":
+                    found.append(eq)
+                for sub in eq.params.values():
+                    if hasattr(sub, "jaxpr"):
+                        walk(sub.jaxpr)
+                    if isinstance(sub, (list, tuple)):
+                        for s2 in sub:
+                            if hasattr(s2, "jaxpr"):
+                                walk(s2.jaxpr)
+
+        walk(jaxpr.jaxpr)
+        assert found, "no pallas_call found in jaxpr"
+        for eq in found:
+            for var in eq.invars:
+                shape = getattr(var.aval, "shape", ())
+                if len(shape) == 3:
+                    # only the [NC, C, D] message stream may be rank-3
+                    assert shape[2] >= 64, (
+                        f"rank-3 pallas operand with unit-ish minor dim "
+                        f"{shape} — HBM tiling would pad it to 128 "
+                        f"lanes (round-4 OOM regression)")
+
+        # numerics at the many-chunk profile
+        out = np.asarray(K.segment_matmul_headed_vjp(
+            jnp.asarray(msg), jnp.asarray(alpha),
+            jnp.asarray(pack.local_rows), jnp.asarray(pack.tiles),
+            n, h))
+        rows = np.asarray(K.pack_rows(pack))
+        oracle = np.zeros((n, h * dv), np.float32)
+        np.add.at(oracle, rows.reshape(-1),
+                  (msg * alpha.repeat(dv, axis=2)).reshape(-1, h * dv))
+        np.testing.assert_allclose(out, oracle, rtol=2e-4, atol=2e-4)
+
+    def test_weighted_kernel_scalar_operands_stay_2d(self):
+        import jax
+        import jax.numpy as jnp
+
+        n, e, d = 2048, 30000, 128
+        rng = np.random.default_rng(4)
+        s = rng.integers(0, n, e).astype(np.int32)
+        r = rng.integers(0, n, e).astype(np.int32)
+        w = rng.random(e).astype(np.float32)
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        pack = K.pack_csr(s, r, w, n)
+        out = np.asarray(K.spmm_packed(pack, jnp.asarray(x), n))
+        oracle = np.zeros((n, d), np.float32)
+        np.add.at(oracle, r, w[:, None] * x[s])
+        np.testing.assert_allclose(out, oracle, rtol=2e-4, atol=2e-4)
