@@ -170,6 +170,16 @@ def set_cfg(cfg: CfgNode) -> CfgNode:
     cfg.dataset.edge_negative_sampling_ratio = 1.0
     cfg.dataset.resample_disjoint = False
     cfg.dataset.resample_negative = False
+    # ws link-deficit ablation switches (round 5, VERDICT r4 weak #1;
+    # probe-only — committed parity rows keep both False):
+    # eval splits keep ALL edges in the message graph (supervision
+    # positives visible to message passing — the "leaky val" protocol
+    # hypothesis for the DeepSNAP plain-layer link_pred path)
+    cfg.dataset.link_eval_message_full = False
+    # re-draw eval-split negatives at every eval epoch (best-val then
+    # maxes over negative-set realizations — a systematic upward bias
+    # the reference would have if DeepSNAP resamples on __getitem__)
+    cfg.dataset.link_eval_resample_negative = False
     cfg.dataset.augment_feature = []
     cfg.dataset.augment_feature_dims = []
     cfg.dataset.augment_feature_repr = "original"

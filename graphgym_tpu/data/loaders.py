@@ -597,9 +597,17 @@ def _default_supervision(g: HostGraph, cfg,
         if disjoint:
             msg_pairs, pos = _disjoint_split(
                 pairs, cfg.dataset.edge_message_ratio, rng)
-            _set_message_edges(
-                g, full_edge_index, full_edge_feature,
-                np.concatenate([msg_pairs, msg_pairs[::-1]], axis=1))
+            if split_index >= 1 and cfg.dataset.get(
+                    "link_eval_message_full", False):
+                # probe (config.py link_eval_message_full): eval keeps
+                # the FULL graph as message — supervision positives
+                # visible to message passing ("leaky val" hypothesis)
+                pass
+            else:
+                _set_message_edges(
+                    g, full_edge_index, full_edge_feature,
+                    np.concatenate([msg_pairs, msg_pairs[::-1]],
+                                   axis=1))
         else:
             pos = pairs
         if os.environ.get("GRAPHGYM_LINK_BOTH_DIRS") == "1":
@@ -629,6 +637,13 @@ def _default_supervision(g: HostGraph, cfg,
             g["_pos_pairs"] = pos.astype(np.int32)
             # per-epoch redraws must exclude the FULL edge set (incl.
             # held-out supervision positives), not just message edges
+            g["_full_edge_index"] = full_edge_index.astype(np.int32)
+        elif split_index >= 1 and cfg.dataset.get(
+                "link_eval_resample_negative", False):
+            # probe (config.py link_eval_resample_negative): eval
+            # negatives re-drawn at each eval pass — best-val then
+            # maxes over negative-set realizations
+            g["_pos_pairs"] = pos.astype(np.int32)
             g["_full_edge_index"] = full_edge_index.astype(np.int32)
 
 
@@ -899,8 +914,11 @@ class GraphLoader:
                 g["edge_label"] = np.concatenate(
                     [np.ones(pos.shape[1]),
                      np.zeros(neg.shape[1])]).astype(np.int64)
-        resample = (self.shuffle
-                    and self.cfg.dataset.resample_negative
+        resample = (((self.shuffle
+                      and self.cfg.dataset.resample_negative)
+                     or (not self.shuffle
+                         and self.cfg.dataset.get(
+                             "link_eval_resample_negative", False)))
                     and any("_pos_pairs" in g for g in self.graphs))
         if resample:
             from graphgym_tpu.data.transforms import negative_sampling

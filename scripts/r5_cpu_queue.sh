@@ -29,6 +29,15 @@ P "dataset.resample_disjoint=True" results/ablation_wslink/resdis \
 P "train.eval_period=1" results/ablation_wslink/evalp1 \
   --link --layers gcnconv --repeat 3
 
+# --- 1b) round-2 probes from the evalp1/resneg/resdis findings: the
+#     curve peak never reaches the reference on ws (evalp1), so test
+#     eval-protocol hypotheses: leaky eval message graph; eval-negative
+#     resampling (best-val max-bias)
+P "dataset.link_eval_message_full=True" results/ablation_wslink/leakval \
+  --link --layers gcnconv --repeat 3
+P "dataset.link_eval_resample_negative=True" results/ablation_wslink/evalresneg \
+  --link --layers gcnconv --repeat 3
+
 # --- 2) deliberate edge-task cells (VERDICT task 8)
 R --edge --layers gcnconv sageidconv --repeat 3
 
