@@ -53,12 +53,13 @@ class GNNNodeHead(nn.Module):
     layers_post_mp: int = 1
     dim_inner: Optional[int] = None
     act: str = "relu"
+    gain: float = 1.0
 
     @nn.compact
     def __call__(self, graph: GraphBatch, train: bool = False) -> HeadOut:
         graph = MLP(self.dim_out, num_layers=self.layers_post_mp,
                     dim_inner=self.dim_inner, use_bias=True,
-                    act=self.act)(graph, train)
+                    act=self.act, gain=self.gain)(graph, train)
         idx = graph.node_label_index
         if idx is None:
             return graph.node_feat, graph.node_label, graph.node_mask
@@ -75,6 +76,7 @@ class GNNEdgeHead(nn.Module):
     layers_post_mp: int = 1
     dim_inner: Optional[int] = None
     act: str = "relu"
+    gain: float = 1.0
 
     @nn.compact
     def __call__(self, graph: GraphBatch, train: bool = False) -> HeadOut:
@@ -93,13 +95,13 @@ class GNNEdgeHead(nn.Module):
                 node_mask=pair_mask)
             pair = MLP(self.dim_out, num_layers=self.layers_post_mp,
                        dim_inner=self.dim_inner, use_bias=True,
-                       act=self.act)(pair, train)
+                       act=self.act, gain=self.gain)(pair, train)
             pred = pair.node_feat
         else:
             graph = MLP(graph.node_feat.shape[-1],
                         num_layers=self.layers_post_mp,
                         dim_inner=self.dim_inner, use_bias=True,
-                        act=self.act)(graph, train)
+                        act=self.act, gain=self.gain)(graph, train)
             v1 = jnp.take(graph.node_feat, eli[0], axis=0)
             v2 = jnp.take(graph.node_feat, eli[1], axis=0)
             if self.decoding == "dot":
@@ -124,6 +126,7 @@ class GNNGraphHead(nn.Module):
     layers_post_mp: int = 1
     dim_inner: Optional[int] = None
     act: str = "relu"
+    gain: float = 1.0
 
     @nn.compact
     def __call__(self, graph: GraphBatch, train: bool = False) -> HeadOut:
@@ -138,7 +141,7 @@ class GNNGraphHead(nn.Module):
         if gmask is None:
             gmask = jnp.ones(graph.num_graphs, bool)
         g = graph.replace(node_feat=emb, node_mask=gmask)
-        g = MLP(self.dim_out, num_layers=self.layers_post_mp,
+        g = MLP(self.dim_out, num_layers=self.layers_post_mp, gain=self.gain,
                 dim_inner=self.dim_inner, use_bias=True,
                 act=self.act)(g, train)
         return g.node_feat, graph.graph_label, graph.graph_mask

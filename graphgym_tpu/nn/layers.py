@@ -33,25 +33,28 @@ from graphgym_tpu.nn.norm import MaskedBatchNorm, l2_normalize
 from graphgym_tpu.ops import segment as S
 from graphgym_tpu.ops import sparse as sp
 
-# Kernel initializer with a switchable gain: the reference's torch
-# path re-initializes EVERY nn.Linear with xavier_uniform at
-# gain=calculate_gain('relu')=sqrt(2) and zero bias (init.py:6-16,
-# applied via model.apply(init_weights) in model_builder.py), while
-# the Tfg/Keras path keeps TF's glorot_uniform (gain 1).  build_model
-# selects the gain before constructing the model; params read it at
-# init-trace time.
-_GLOROT_SCALE = [1.0]   # gain^2 == variance_scaling scale
+# Kernel initializers.  The reference's torch path re-initializes the
+# nn.Linear modules (pre/post-MP stacks, heads, GIN's Sequential MLP)
+# with xavier_uniform at gain=calculate_gain('relu')=sqrt(2) and zero
+# bias (init.py:6-16 via model.apply(init_weights) in
+# model_builder.py) — but ONLY nn.Linear: PyG conv internals
+# (GCNConv.weight, GATConv.att, PyG's own Linear class) are plain
+# Parameters and keep their gain-1 glorot (advisor r4).  The Tfg/Keras
+# path keeps TF glorot (gain 1) everywhere.  The gain is therefore
+# threaded per-module (GNNOptions.linear_gain -> Linear/MLP/head
+# `gain` attributes) instead of the old process-global switch, which
+# leaked across models built before the first init trace (advisor r4
+# low, layers.py:43).
+glorot = nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
 
 
-def glorot(key, shape, dtype=jnp.float32):
+def xavier_uniform(gain: float = 1.0):
+    """torch nn.init.xavier_uniform_ with a gain (variance scale
+    gain^2); gain=1 is exactly `glorot`."""
+    if gain == 1.0:
+        return glorot
     return nn.initializers.variance_scaling(
-        _GLOROT_SCALE[0], "fan_avg", "uniform")(key, shape, dtype)
-
-
-def set_glorot_gain(gain: float) -> None:
-    """Set the xavier gain used by all subsequently-initialized kernels
-    (1.0 = TF/Keras glorot; sqrt(2) = the reference torch path)."""
-    _GLOROT_SCALE[0] = float(gain) ** 2
+        float(gain) ** 2, "fan_avg", "uniform")
 
 
 zeros_init = nn.initializers.zeros
@@ -178,14 +181,20 @@ def packed_attention(graph: GraphBatch, h_heads: jnp.ndarray,
 # --------------------------------------------------------------------------
 
 class Linear(nn.Module):
-    """Linear layer on node features (reference layer.py:72-82)."""
+    """Linear layer on node features (reference layer.py:72-82).
+
+    ``gain``: xavier gain for the kernel — sqrt(2) replicates the
+    reference torch path's init_weights on nn.Linear (init.py:6-16);
+    conv-internal kernels keep gain 1 (see the initializer note)."""
     dim_out: int
     use_bias: bool = False
+    gain: float = 1.0
 
     @nn.compact
     def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
         x = graph.node_feat
-        w = self.param("kernel", glorot, (x.shape[-1], self.dim_out))
+        w = self.param("kernel", xavier_uniform(self.gain),
+                       (x.shape[-1], self.dim_out))
         h = jnp.dot(x, w, preferred_element_type=x.dtype)
         if self.use_bias:
             h = h + self.param("bias", zeros_init, (self.dim_out,))
@@ -235,6 +244,7 @@ class MLP(nn.Module):
     has_bn: bool = True
     dropout: float = 0.0
     act: str = "relu"
+    gain: float = 1.0
 
     @nn.compact
     def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
@@ -242,10 +252,11 @@ class MLP(nn.Module):
         for i in range(self.num_layers - 1):
             d = dim_inner if dim_inner is not None else graph.node_feat.shape[-1]
             graph = GeneralLayer(
-                Linear(d, use_bias=not self.has_bn), d,
+                Linear(d, use_bias=not self.has_bn, gain=self.gain), d,
                 has_act=True, has_bn=self.has_bn, dropout=self.dropout,
                 act=self.act)(graph, train)
-        return Linear(self.dim_out, use_bias=self.use_bias)(graph, train)
+        return Linear(self.dim_out, use_bias=self.use_bias,
+                      gain=self.gain)(graph, train)
 
 
 # --------------------------------------------------------------------------
@@ -507,6 +518,7 @@ class GINConv(nn.Module):
     train_eps: bool = False
     mlp_bn: bool = False
     agg: str = "sum"
+    mlp_gain: float = 1.0
 
     @nn.compact
     def __call__(self, graph: GraphBatch, train: bool = False) -> GraphBatch:
@@ -532,19 +544,23 @@ class GINConv(nn.Module):
             eps = self.eps
         h = (1.0 + eps) * x + nb
         h = _gin_mlp(self, h, "mlp", self.dim_out, self.mlp_bn,
-                     graph.node_mask, train)
+                     graph.node_mask, train, gain=self.mlp_gain)
         return graph.replace(node_feat=h)
 
 
 def _gin_mlp(mod: nn.Module, h: jnp.ndarray, prefix: str, dim_out: int,
-             with_bn: bool, node_mask, train: bool) -> jnp.ndarray:
+             with_bn: bool, node_mask, train: bool,
+             gain: float = 1.0) -> jnp.ndarray:
     """2-layer GIN MLP: Dense->ReLU->Dense (reference layer.py:168-169;
     the Tfg variant appends BN+ReLU, main_zd.py:181-186).  Weight names
     contain 'kernel' so the Tfg L2 regularizer covers them (reference
-    loss.py:65 matches tf Dense kernels)."""
-    w1 = mod.param(f"{prefix}_kernel1", glorot, (h.shape[-1], dim_out))
+    loss.py:65 matches tf Dense kernels).  The torch path's GIN MLP is
+    built from nn.Linear, so init_weights re-inits it at gain sqrt(2)
+    (the only conv-internal kernels that are nn.Linear)."""
+    init = xavier_uniform(gain)
+    w1 = mod.param(f"{prefix}_kernel1", init, (h.shape[-1], dim_out))
     b1 = mod.param(f"{prefix}_bias1", zeros_init, (dim_out,))
-    w2 = mod.param(f"{prefix}_kernel2", glorot, (dim_out, dim_out))
+    w2 = mod.param(f"{prefix}_kernel2", init, (dim_out, dim_out))
     b2 = mod.param(f"{prefix}_bias2", zeros_init, (dim_out,))
     h = jax.nn.relu(jnp.dot(h, w1, preferred_element_type=h.dtype) + b1)
     h = jnp.dot(h, w2, preferred_element_type=h.dtype) + b2

@@ -38,16 +38,23 @@ def make_conv(name: str, dim_out: int, gnn_cfg, use_bias: bool) -> nn.Module:
     cfg-at-construction reads, layer.py:224-238 + idconv.py:444-448)."""
     heads = gnn_cfg.att_heads
     att_drop = getattr(gnn_cfg, "att_dropout", 0.0)
+    # the torch path's nn.Linear-backed layers ('linear', 'mlp', GIN's
+    # internal MLP) follow the reference init_weights gain; PyG-conv
+    # internals keep gain 1 (see layers.py initializer note)
+    gain = getattr(gnn_cfg, "linear_gain", 1.0)
     common = dict(dim_out=dim_out, use_bias=use_bias)
     table: Dict[str, Callable[[], nn.Module]] = {
-        "linear": lambda: L.Linear(dim_out, use_bias=use_bias),
-        "mlp": lambda: L.MLP(dim_out, use_bias=use_bias, act=gnn_cfg.act),
+        "linear": lambda: L.Linear(dim_out, use_bias=use_bias,
+                                   gain=gain),
+        "mlp": lambda: L.MLP(dim_out, use_bias=use_bias,
+                             act=gnn_cfg.act, gain=gain),
         "gcnconv": lambda: L.GCNConv(**common),
         "sageconv": lambda: L.SAGEConv(**common, combine="sum"),
         "gatconv": lambda: L.GATConv(**common, heads=heads,
                                      att_dropout=att_drop),
         "ginconv": lambda: L.GINConv(
-            dim_out, agg=getattr(gnn_cfg, "gin_agg", "sum")),
+            dim_out, agg=getattr(gnn_cfg, "gin_agg", "sum"),
+            mlp_gain=gain),
         "splineconv": lambda: L.SplineConv(**common),
         "generalconv": lambda: L.GeneralConv(
             **common, agg=gnn_cfg.agg, self_msg=gnn_cfg.self_msg,
@@ -135,6 +142,7 @@ class GNNOptions:
     gin_agg: str = "sum"
     att_final_linear: bool = False
     att_final_linear_bn: bool = False
+    linear_gain: float = 1.0   # xavier gain for nn.Linear-equivalents
     flow: str = "source_to_target"
     l2norm: bool = True
     keep_edge: float = 0.5
@@ -285,7 +293,8 @@ class GNN(nn.Module):
                           num_layers=opts.layers_pre_mp + 1,
                           dim_inner=opts.dim_inner, use_bias=False,
                           has_bn=opts.batchnorm, dropout=opts.dropout,
-                          act=opts.act, name="pre_mp")(graph, train)
+                          act=opts.act, gain=opts.linear_gain,
+                          name="pre_mp")(graph, train)
             # reference GNNPreMP has final_act=True on the last layer
             graph = graph.replace(
                 node_feat=act_dict[opts.act](graph.node_feat))
@@ -302,18 +311,18 @@ class GNN(nn.Module):
             head = GNNNodeHead(opts.dim_out,
                                layers_post_mp=opts.layers_post_mp,
                                dim_inner=opts.dim_inner, act=opts.act,
-                               name="post_mp")
+                               gain=opts.linear_gain, name="post_mp")
         elif opts.task in ("edge", "link_pred"):
             head = GNNEdgeHead(opts.dim_out, decoding=opts.edge_decoding,
                                layers_post_mp=opts.layers_post_mp,
                                dim_inner=opts.dim_inner, act=opts.act,
-                               name="post_mp")
+                               gain=opts.linear_gain, name="post_mp")
         elif opts.task == "graph":
             head = GNNGraphHead(opts.dim_out, pooling=opts.graph_pooling,
                                 ego=opts.ego,
                                 layers_post_mp=opts.layers_post_mp,
                                 dim_inner=opts.dim_inner, act=opts.act,
-                                name="post_mp")
+                                gain=opts.linear_gain, name="post_mp")
         else:
             raise ValueError(f"Unknown task {opts.task}")
         return head(graph, train)
@@ -352,8 +361,13 @@ def options_from_cfg(cfg) -> GNNOptions:
             dim_out=cfg.share.dim_out,
             tfg_head=True,
         )
+    import math
+
     return GNNOptions(
         layer_type=cfg.gnn.layer_type,
+        # reference init_weights (init.py:6-16) re-inits nn.Linear at
+        # gain sqrt(2) on the torch path; conv internals stay gain 1
+        linear_gain=math.sqrt(2),
         stage_type=cfg.gnn.stage_type,
         layers_pre_mp=cfg.gnn.layers_pre_mp,
         layers_mp=cfg.gnn.layers_mp,
@@ -416,13 +430,11 @@ def build_model(cfg) -> nn.Module:
     """create_model equivalent (reference model_builder.py:15).
 
     Kernel init gain follows the backend being replicated: the torch
-    path re-initializes every Linear with xavier_uniform at
-    gain=sqrt(2) (reference init.py:6-16 via model.apply(init_weights));
-    the Tfg/Keras path keeps TF glorot (gain 1)."""
-    import math
-
-    L.set_glorot_gain(
-        1.0 if cfg.gnn.layer_type.startswith("Tfg-") else math.sqrt(2))
+    path re-initializes every nn.Linear (pre/post-MP, heads, GIN MLP)
+    with xavier_uniform at gain=sqrt(2) (reference init.py:6-16 via
+    model.apply(init_weights)) while PyG conv internals keep gain-1
+    glorot; the Tfg/Keras path keeps TF glorot everywhere.  The gain is
+    carried in GNNOptions.linear_gain (per-module, no global state)."""
     if cfg.model.type in register.network_dict:
         return register.network_dict[cfg.model.type](options_from_cfg(cfg))
     if cfg.gnn.layer_type == "Tfg-appnp":

@@ -117,6 +117,15 @@ def shard_batch(batch: GraphBatch, mesh: Mesh,
     (see _place_sharded)."""
     import dataclasses
 
+    if layout not in ("node", "replicated"):
+        # 'auto' is resolved by GraphLoader._collate's first batch; a
+        # path that reaches here without loader collation must not
+        # silently degrade to the replicated specs (advisor r4 low)
+        raise ValueError(
+            f"shard_batch layout must be 'node' or 'replicated', got "
+            f"{layout!r} — cfg.tpu.partition='auto' is resolved during "
+            f"loader collation; call _resolve_auto_layout (or pass an "
+            f"explicit layout) for batches that bypass the loader")
     multiprocess = jax.process_count() > 1
     specs = _specs_for(mesh, layout)
     rep = NamedSharding(mesh, P())

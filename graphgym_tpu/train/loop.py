@@ -161,14 +161,20 @@ class Trainer:
 
         self.mesh = None
         self._shard_cache: Any = collections.OrderedDict()
-        # Cache sized to hold every loader's batch list (static loaders
-        # reuse the same batch objects each epoch/eval — an LRU smaller
-        # than their total thrashes to a 0% hit rate under cyclic
-        # access and reintroduces the per-batch transfer cost), with a
-        # hard ceiling so reshuffled loaders can't pin unbounded HBM.
+        # Cache sized to hold every STATIC loader's batch list (static
+        # loaders reuse the same batch objects each epoch/eval — an LRU
+        # smaller than their total thrashes to a 0% hit rate under
+        # cyclic access and reintroduces the per-batch transfer cost).
+        # Reshuffling multi-batch loaders emit fresh objects every
+        # epoch that can never hit, so they contribute only a small
+        # fixed headroom instead of inflating the cap with dead pinned
+        # placements (advisor r4: sizing from ALL loaders pinned up to
+        # 64 dead (batch, placed) pairs in HBM).
         try:
-            self._place_cap = min(
-                max(8, sum(len(ld) for ld in loaders) + 4), 64)
+            static_total = sum(
+                len(ld) for ld in loaders
+                if not getattr(ld, "shuffle", False) or len(ld) == 1)
+            self._place_cap = min(max(8, static_total + 4), 64)
         except TypeError:
             self._place_cap = 8
         if cfg.tpu.mesh_shape:
