@@ -190,10 +190,17 @@ def _write_link_markdown(out_dir: str, rows, prefix: str = "link"
 LINK_LAYERS = ["gcnconv", "sageconv", "gatconv", "ginconv",
                "gcnidconv", "sageidconv", "gatidconv", "ginidconv"]
 
-# Bumped whenever a change alters what a committed row means (round 4:
-# the disjoint link-supervision fix).  Runs whose on-disk manifest
-# carries a different protocol are never silently merged.
-PROTOCOL_VERSION = 2
+# Bumped whenever a change alters what a committed row means.  Runs
+# whose on-disk manifest carries a different protocol are never
+# silently merged.  Node rows are Tfg-path (keras glorot init,
+# untouched by the round-5 init fix) and stay at 2 (the round-4
+# disjoint link-supervision fix); link/edge rows are torch-path and
+# moved to 3 when the advisor-r4 init fix restricted the sqrt(2)
+# xavier gain to nn.Linear-equivalents (conv internals back to the
+# reference's gain-1 glorot) — every earlier torch-path link cell
+# trained under 2x conv-kernel init variance.
+_PROTOCOL = {"node": 2, "link": 3, "edge": 3}
+_LEGACY_PROTOCOL = 2
 _PROBE_ENVS = ("GRAPHGYM_GIN_AGG", "GRAPHGYM_EDGE_DECODING",
                "GRAPHGYM_LINK_PROBE")
 
@@ -207,7 +214,7 @@ def _run_manifest(kind: str, key: str, dataset: str, feature: str,
         "kind": kind, "key": key, "dataset": dataset,
         "feature": feature or "",
         "epochs_arg": int(epochs_arg or 0),
-        "protocol": PROTOCOL_VERSION,
+        "protocol": _PROTOCOL[kind],
         "probes": {k: os.environ.get(k) or "" for k in _PROBE_ENVS},
     }
 
@@ -215,11 +222,12 @@ def _run_manifest(kind: str, key: str, dataset: str, feature: str,
 def _manifest_matches(run_dir: str, manifest: dict) -> bool:
     """True when the on-disk run is the same experiment.  Runs that
     predate manifests (round <=4) are grandfathered ONLY for
-    probe-free sweeps — a probe sweep must never reuse (or be reused
-    by) canonical numbers."""
+    probe-free sweeps at the legacy protocol version — a probe sweep
+    or a bumped protocol must never reuse manifest-less numbers."""
     p = os.path.join(run_dir, "run_manifest.json")
     if not os.path.exists(p):
-        return not any(manifest["probes"].values())
+        return (manifest["protocol"] == _LEGACY_PROTOCOL
+                and not any(manifest["probes"].values()))
     try:
         with open(p) as f:
             return json.load(f) == manifest
@@ -395,16 +403,18 @@ def run_one_link(layer: str, dataset: str, feature: str, seed: int,
         # (docs/PARITY_NOTES.md link section); never set for committed
         # parity rows
         cfg.model.edge_decoding = decode
+    _match_link_budget(cfg)
     probe = os.environ.get("GRAPHGYM_LINK_PROBE")
     if probe:
         # generic ablation hook for the ws link-deficit investigation
         # (VERDICT r4 weak #1): comma-separated dotted overrides, e.g.
         # "dataset.resample_negative=True,train.eval_period=1".
         # Manifest-tracked; refused on the canonical parity out dir.
+        # Applied AFTER budget matching so capacity probes
+        # (gnn.dim_inner=...) are not clobbered by the matcher.
         for kv in probe.split(","):
             key, val = kv.split("=", 1)
             cfg.merge_from_list([key.strip(), val.strip()])
-    _match_link_budget(cfg)
     prefix = "link" if task == "link_pred" else "edge"
     name = f"{prefix}_{layer}_{dataset}" + ("_id" if feature else "")
     cfg.out_dir = os.path.join(out_root, name, str(seed))
@@ -591,7 +601,9 @@ def main():
             with open(path) as f:
                 rows = json.load(f)
         done = {(r["layer"], r["dataset"], r["feature"]) for r in rows
-                if r.get("seeds", 0) >= args.repeat}
+                if r.get("seeds", 0) >= args.repeat
+                and r.get("protocol",
+                          _LEGACY_PROTOCOL) >= _PROTOCOL[prefix]}
         cells = [(ly, ds, ft) for ly in args.layers
                  for ds in args.link_datasets
                  for ft in (("",) if "id" in ly
@@ -666,6 +678,7 @@ def main():
                 "delta": delta,
                 "pass_2sigma": pass_2sigma(delta, ref_std, ours_std),
                 "seeds": len(accs),
+                "protocol": _PROTOCOL[prefix],
             })
         _write_link_markdown(args.out, rows, prefix=prefix)
         print(json.dumps(rows, indent=1))
