@@ -146,3 +146,88 @@ def _nested_update(d: Dict, u: Dict) -> Dict:
         else:
             d[k] = v
     return d
+
+
+def load_alias_file(path: str) -> List[str]:
+    """Whitespace-separated design-dimension aliases (reference
+    load_alias_file via run/sample/dimensions.txt)."""
+    with open(path) as f:
+        return f.read().split()
+
+
+def gen_grid_sample_aliased(base_cfg_path: str, grid_path: str,
+                            out_dir: str, *, sample_num: int,
+                            aliases: List[str],
+                            config_budget: str | None = None,
+                            results_dir: str | None = None,
+                            seed: int = 0) -> List[str]:
+    """The reference's design-space sampler (gen_grid_sample,
+    configs_gen.py:184-257, driven by --sample_alias/--sample_num in
+    run/scripts/design/*.sh):
+
+    - sample_num is split across grid chunks proportionally to each
+      chunk's cartesian size;
+    - for each chunk and each alias in `aliases`, draw that many
+      random points, then expand the alias dimension to ALL its values
+      for every draw — controlled comparisons along one design
+      dimension at a time, named '<base>-sample=<alias>-...'.
+    """
+    rng = random.Random(seed)
+    with open(base_cfg_path) as f:
+        base = yaml.safe_load(f) or {}
+    if results_dir is not None:
+        # reference behavior: every generated config routes its runs
+        # into the batch's results dir (configs_gen.py:190-191)
+        base["out_dir"] = results_dir
+    base_name = os.path.splitext(os.path.basename(base_cfg_path))[0]
+    os.makedirs(out_dir, exist_ok=True)
+    chunks = load_search_file(grid_path)
+    sizes = []
+    for chunk in chunks:
+        n = 1
+        for _, _, values in chunk:
+            n *= len(values)
+        sizes.append(n)
+    total = float(sum(sizes))
+    counts = [round(sample_num * s / total) for s in sizes]
+    counts[0] += sample_num - sum(counts)
+
+    baseline = None
+    if config_budget:
+        from graphgym_tpu.config import get_cfg
+        baseline = get_cfg()
+        with open(config_budget) as f:
+            baseline.merge_from_dict(yaml.safe_load(f) or {})
+
+    written: List[str] = []
+    for chunk, count in zip(chunks, counts):
+        chunk_aliases = [a for _, a, _ in chunk]
+        for alias in aliases:
+            if alias not in chunk_aliases:
+                continue
+            ai = chunk_aliases.index(alias)
+            for _ in range(max(int(count), 0)):
+                draw = [(k, a, rng.choice(v)) for k, a, v in chunk]
+                for val in chunk[ai][2]:
+                    point = list(draw)
+                    point[ai] = (chunk[ai][0], alias, val)
+                    cfg_dict = _apply_point(base, point)
+                    name = (_point_name(f"{base_name}-sample={alias}",
+                                        point))
+                    if baseline is not None:
+                        from graphgym_tpu.config import get_cfg
+                        from graphgym_tpu.exp.budget import (
+                            dict_match_baseline)
+                        cfg = get_cfg()
+                        cfg.merge_from_dict(cfg_dict)
+                        dict_match_baseline(cfg, baseline)
+                        cfg_dict = _nested_update(
+                            cfg_dict,
+                            {"gnn": {"dim_inner": cfg.gnn.dim_inner}})
+                    path = os.path.join(out_dir, name + ".yaml")
+                    if path not in written:
+                        with open(path, "w") as f:
+                            yaml.safe_dump(cfg_dict, f,
+                                           sort_keys=False)
+                        written.append(path)
+    return written

@@ -21,9 +21,11 @@ from typing import List
 
 def run_batch(config_dir: str, *, repeat: int = 1, max_jobs: int = 1,
               rounds: int = 3, mark_done: bool = True,
+              overrides: List[str] = (),
               python: str = sys.executable) -> int:
     """Run every *.yaml in config_dir; returns number of failures after
-    all retry rounds."""
+    all retry rounds.  `overrides` are dotted cfg overrides appended to
+    every job (e.g. smoke sweeps: optim.max_epoch 3)."""
     for _ in range(rounds):
         configs = sorted(glob.glob(os.path.join(config_dir, "*.yaml")))
         configs = [c for c in configs if not c.endswith("_done")]
@@ -38,6 +40,7 @@ def run_batch(config_dir: str, *, repeat: int = 1, max_jobs: int = 1,
                    "--repeat", str(repeat)]
             if mark_done:
                 cmd.append("--mark_done")
+            cmd.extend(overrides)
             procs.append(subprocess.Popen(cmd))
         for p in procs:
             p.wait()
@@ -52,9 +55,12 @@ def main(argv=None):
     p.add_argument("--repeat", type=int, default=1)
     p.add_argument("--max_jobs", type=int, default=1)
     p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--overrides", nargs=argparse.REMAINDER, default=[],
+                   help="dotted cfg overrides appended to every job")
     args = p.parse_args(argv)
     failures = run_batch(args.config_dir, repeat=args.repeat,
-                         max_jobs=args.max_jobs, rounds=args.rounds)
+                         max_jobs=args.max_jobs, rounds=args.rounds,
+                         overrides=args.overrides)
     if failures:
         print(f"{failures} configs failed after {args.rounds} rounds")
         return 1

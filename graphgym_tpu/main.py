@@ -33,6 +33,13 @@ def parse_args(argv=None):
 def run_single(cfg, out_dir_parent: str, cfg_file: str):
     import jax
 
+    # honor GRAPHGYM_PLATFORM=cpu (same contract as the tools): the
+    # axon plugin force-overrides JAX_PLATFORMS, and only one process
+    # can hold the TPU tunnel — CPU sweeps must not queue behind it
+    plat = os.environ.get("GRAPHGYM_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     from graphgym_tpu.config import dump_cfg, update_out_dir
     from graphgym_tpu.data.loaders import create_dataset, create_loader
     from graphgym_tpu.nn.model import build_model

@@ -115,3 +115,67 @@ def test_option_combinations(opts_kw):
                 layers_post_mp=1, dim_out=3)
     base.update(opts_kw)
     run_one_step(GNNOptions(**base), batch)
+
+
+class TestDesignGrids:
+    """Round-5 port of the reference's design-space sweep definitions
+    (reference run/grids/design/round1.txt:1-20, run/configs_gen.py:
+    144-267, run/scripts/design/*.sh)."""
+
+    def test_round1_grid_parses(self):
+        from graphgym_tpu.exp.grid import load_search_file
+
+        chunks = load_search_file("grids/design/round1.txt")
+        assert len(chunks) == 5          # TU, PyG-node, 2x nx-node, nx-graph
+        aliases = {a for c in chunks for _, a, _ in c}
+        assert {"act", "bn", "drop", "agg", "l_mp", "l_pre", "l_post",
+                "stage", "batch", "lr", "optim", "epoch"} <= aliases
+        # nx chunks are runnable locally
+        nx_chunks = [c for c in chunks
+                     if any(v == ["nx"] for k, _, v in c
+                            if k == "dataset.format")]
+        assert len(nx_chunks) == 3
+
+    def test_aliased_sampler_controlled_comparisons(self, tmp_path):
+        import yaml
+        from graphgym_tpu.exp.grid import (gen_grid_sample_aliased,
+                                           load_alias_file)
+
+        aliases = load_alias_file("sample/dimensions.txt")
+        assert "act" in aliases and "l_mp" in aliases
+        out = gen_grid_sample_aliased(
+            "configs/design/design_v1.yaml", "grids/design/round1.txt",
+            str(tmp_path), sample_num=5, aliases=["act"], seed=1)
+        assert out, "sampler produced no configs"
+        # every emitted group perturbs ONLY the sampled alias: configs
+        # from one draw differ solely in gnn.act
+        groups = {}
+        for p in out:
+            cfg = yaml.safe_load(open(p))
+            key = (cfg["dataset"]["name"], cfg["gnn"]["layers_mp"],
+                   cfg["gnn"]["dropout"], cfg["optim"]["base_lr"],
+                   cfg["train"]["batch_size"])
+            groups.setdefault(key, set()).add(cfg["gnn"]["act"])
+        assert any(len(acts) == 3 for acts in groups.values()), (
+            "expected a controlled comparison sweeping all 3 act values")
+
+    def test_round1_point_budget_matches(self, tmp_path):
+        import yaml
+        from graphgym_tpu.config import get_cfg
+        from graphgym_tpu.exp.budget import (dict_match_baseline,
+                                             params_count)
+
+        base = yaml.safe_load(open("configs/design/design_v1.yaml"))
+        baseline = get_cfg()
+        baseline.merge_from_dict(base)
+        target = params_count(baseline)
+        # a cheap grid point (l_mp=8, stack) must be budget-matched to
+        # within the reference's tolerance by adjusting dim_inner
+        cfg = get_cfg()
+        point = dict(base)
+        point["gnn"] = dict(point["gnn"], layers_mp=8,
+                            stage_type="stack")
+        cfg.merge_from_dict(point)
+        dict_match_baseline(cfg, baseline)
+        got = params_count(cfg)
+        assert abs(got - target) / target < 0.15, (got, target)
