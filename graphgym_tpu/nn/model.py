@@ -289,15 +289,23 @@ class GNN(nn.Module):
                     opts.encoder_dim, name="edge_encoder_bn")(
                     graph.edge_feat, graph.edge_mask, train))
         if opts.layers_pre_mp > 0:
-            graph = L.MLP(opts.dim_inner,
-                          num_layers=opts.layers_pre_mp + 1,
-                          dim_inner=opts.dim_inner, use_bias=False,
-                          has_bn=opts.batchnorm, dropout=opts.dropout,
-                          act=opts.act, gain=opts.linear_gain,
-                          name="pre_mp")(graph, train)
-            # reference GNNPreMP has final_act=True on the last layer
-            graph = graph.replace(
-                node_feat=act_dict[opts.act](graph.node_feat))
+            # GNNPreMP (reference gnn.py:23-25): EXACTLY layers_pre_mp
+            # Linear+BN+dropout+act blocks (GeneralMultiLayer 'linear'
+            # with final_act=True).  Round <=4 built layers_pre_mp + 1
+            # Linears (an MLP with a bare trailing Linear plus a
+            # bolted-on act) — one phantom dim_inner^2 layer in every
+            # torch-path model with pre-MP, which also inflated the
+            # link-sweep budget target (run_parity protocol v4).
+            for i in range(opts.layers_pre_mp):
+                graph = L.GeneralLayer(
+                    L.Linear(opts.dim_inner,
+                             use_bias=not opts.batchnorm,
+                             gain=opts.linear_gain),
+                    opts.dim_inner, has_act=True,
+                    has_bn=opts.batchnorm, dropout=opts.dropout,
+                    act=opts.act, bn_eps=opts.bn_eps,
+                    bn_mom=opts.bn_mom,
+                    name=f"pre_mp_{i}")(graph, train)
         if opts.layers_mp > 0:
             stage = stage_dict.get(opts.stage_type)
             if stage is None:

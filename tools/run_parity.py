@@ -197,9 +197,11 @@ LINK_LAYERS = ["gcnconv", "sageconv", "gatconv", "ginconv",
 # disjoint link-supervision fix); link/edge rows are torch-path and
 # moved to 3 when the advisor-r4 init fix restricted the sqrt(2)
 # xavier gain to nn.Linear-equivalents (conv internals back to the
-# reference's gain-1 glorot) — every earlier torch-path link cell
-# trained under 2x conv-kernel init variance.
-_PROTOCOL = {"node": 2, "link": 3, "edge": 3}
+# reference's gain-1 glorot), and to 4 when the phantom extra pre-MP
+# Linear was removed (GNNPreMP is exactly layers_pre_mp blocks,
+# reference gnn.py:23-25) — both changes alter every torch-path
+# link/edge cell's model.
+_PROTOCOL = {"node": 2, "link": 4, "edge": 4}
 _LEGACY_PROTOCOL = 2
 _PROBE_ENVS = ("GRAPHGYM_GIN_AGG", "GRAPHGYM_EDGE_DECODING",
                "GRAPHGYM_LINK_PROBE")
