@@ -314,6 +314,15 @@ def set_cfg(cfg: CfgNode) -> CfgNode:
     cfg.tpu.profile = False          # jax.profiler trace into out_dir
     cfg.tpu.profile_epochs = 3       # epochs to capture when profiling
     cfg.tpu.remat = False            # jax.checkpoint each MP layer
+    # Host-RSS cap for process recycling (GiB; 0 disables).  The axon
+    # remote-TPU client leaks host memory equal to every byte
+    # transferred to the device (measured: 600 MB leaked per 600 MB of
+    # fresh device_put arrays, immune to .delete() and gc) — a long
+    # training with reshuffled loaders grows without bound (observed
+    # 127 GB RSS -> host OOM kill on idgcn/smallworld).  When RSS
+    # crosses the cap the Trainer checkpoints and returns incomplete;
+    # the parity runner resumes in a fresh process.
+    cfg.tpu.max_host_rss_gb = 48.0
 
     # contrib auto-import (reference config.py:7 `from
     # graphgym.contrib.config import *`) then user-registered

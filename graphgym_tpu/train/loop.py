@@ -107,6 +107,18 @@ def make_eval_step(model, loss_opts: LossOptions, compute_dtype=None):
     return jax.jit(step_fn)
 
 
+def _host_rss_gb() -> float:
+    """Current process RSS in GiB (0.0 when /proc is unavailable)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return 0.0
+
+
 def _to_host(score, label, mask):
     score = np.asarray(score)
     label = np.asarray(label)
@@ -406,6 +418,8 @@ class Trainer:
             from concurrent.futures import ThreadPoolExecutor
 
             prefetch = ThreadPoolExecutor(max_workers=1)
+        rss_cap = float(cfg.tpu.get("max_host_rss_gb", 0) or 0)
+        incomplete = False
         try:
             for epoch in range(start_epoch, cfg.optim.max_epoch):
                 if profiling and epoch - start_epoch == cfg.tpu.profile_epochs:
@@ -448,6 +462,22 @@ class Trainer:
                 if ckpt.is_ckpt_epoch(epoch, cfg.train.ckpt_period,
                                       cfg.optim.max_epoch):
                     ckpt.save_ckpt(self.state, cfg.out_dir, epoch)
+                # Process-recycle guard: the axon remote-TPU client
+                # leaks host RSS equal to every transferred byte
+                # (see cfg.tpu.max_host_rss_gb), so long trainings
+                # must checkpoint and hand off to a fresh process
+                # instead of growing into the host OOM killer.
+                if rss_cap and epoch + 1 < cfg.optim.max_epoch:
+                    rss = _host_rss_gb()
+                    if rss > rss_cap:
+                        ckpt.save_ckpt(self.state, cfg.out_dir, epoch)
+                        logging.info(
+                            "host RSS %.1f GiB exceeds cap %.1f - "
+                            "checkpointed at epoch %d, exiting for "
+                            "process recycle (resume from ckpt)",
+                            rss, rss_cap, epoch)
+                        incomplete = True
+                        break
         finally:
             # always reclaim the worker thread — an exception mid-
             # training (or the worker raising inside fut.result())
@@ -458,9 +488,14 @@ class Trainer:
             jax.profiler.stop_trace()
         if cfg.view_emb:
             self._dump_embeddings()
+        best = max(val_curve, key=lambda t: t[1]) if val_curve else (0, 0.0)
+        if incomplete:
+            # deliberately NO "Task done" line: disk reuse must not
+            # treat a recycled chunk as a finished run
+            return {"val_curve": val_curve, "best_epoch": best[0],
+                    "best_val_acc": best[1], "incomplete": True}
         if cfg.train.ckpt_clean:
             ckpt.clean_ckpt(cfg.out_dir)
-        best = max(val_curve, key=lambda t: t[1]) if val_curve else (0, 0.0)
         logging.info(
             "Task done, results saved in %s; best val acc %.4f @ epoch %d",
             cfg.out_dir, best[1], best[0])

@@ -437,6 +437,9 @@ def run_one_link(layer: str, dataset: str, feature: str, seed: int,
     loggers = create_logger(cfg, len(loaders))
     trainer = Trainer(model, loaders, cfg, rng=jax.random.PRNGKey(seed))
     result = trainer.run(loggers)
+    if result.get("incomplete"):
+        print("CHUNK_EXIT", flush=True)   # host-RSS recycle; resume next process
+        return None
     return result["best_val_acc"]
 
 
@@ -507,6 +510,9 @@ def run_one(model_key: str, dataset: str, seed: int, epochs,
     trainer = Trainer(model, loaders, cfg,
                       rng=jax.random.PRNGKey(seed))
     result = trainer.run(loggers)
+    if result.get("incomplete"):
+        print("CHUNK_EXIT", flush=True)   # host-RSS recycle; resume next process
+        return None
     return result["best_val_acc"]
 
 
@@ -524,21 +530,37 @@ def run_one_subprocess(model_key: str, dataset: str, seed: int,
     cmd = [sys.executable, os.path.abspath(__file__), "--single",
            model_key, dataset, str(seed), "--epochs", str(epochs),
            "--out", out_root]
-    for attempt in range(1 + retries):
+    attempt = 0
+    budget = 1 + retries
+    while budget > 0:
+        attempt += 1
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
                                   timeout=timeout_s)
         except subprocess.TimeoutExpired:
             print(f"TIMEOUT {model_key}/{dataset} seed {seed} "
-                  f"(attempt {attempt + 1}; will resume from ckpt)",
+                  f"(attempt {attempt}; will resume from ckpt)",
                   flush=True)
+            budget -= 1
             continue
+        chunked = False
         for line in proc.stdout.splitlines():
             if line.startswith("SINGLE_RESULT "):
                 return float(line.split()[1])
+            if line.startswith("CHUNK_EXIT"):
+                chunked = True
+        if chunked and attempt < 40:
+            # host-RSS process recycle (axon transfer leak,
+            # cfg.tpu.max_host_rss_gb): made progress, resume in a
+            # fresh process without burning the failure budget
+            print(f"RECYCLE {model_key}/{dataset} seed {seed} "
+                  f"(attempt {attempt}; resuming from ckpt)",
+                  flush=True)
+            continue
         print(f"FAILED {model_key}/{dataset} seed {seed} "
-              f"(attempt {attempt + 1}): "
+              f"(attempt {attempt}): "
               f"{proc.stdout[-300:]} {proc.stderr[-300:]}", flush=True)
+        budget -= 1
     return None
 
 
@@ -635,23 +657,34 @@ def main():
                        str(i + 1), "--epochs", str(args.epochs),
                        "--task", task, "--out", args.out]
                 acc = None
-                for attempt in range(3):   # timeouts resume from ckpt
+                fail_budget, attempt = 3, 0
+                while fail_budget > 0:   # timeouts/recycles resume
+                    attempt += 1
                     try:
                         proc = subprocess.run(cmd, capture_output=True,
                                               text=True, timeout=4000)
                     except subprocess.TimeoutExpired:
                         print(f"TIMEOUT {prefix} {layer}/{ds} "
-                              f"(attempt {attempt + 1})", flush=True)
+                              f"(attempt {attempt})", flush=True)
+                        fail_budget -= 1
                         continue
+                    chunked = False
                     for line in proc.stdout.splitlines():
                         if line.startswith("SINGLE_RESULT "):
                             acc = float(line.split()[1])
+                        if line.startswith("CHUNK_EXIT"):
+                            chunked = True
                     if acc is not None:
                         break
+                    if chunked and attempt < 40:
+                        print(f"RECYCLE {prefix} {layer}/{ds} "
+                              f"(attempt {attempt})", flush=True)
+                        continue
                     print(f"FAILED {prefix} {layer}/{ds} "
-                          f"(attempt {attempt + 1}): "
+                          f"(attempt {attempt}): "
                           f"{proc.stdout[-200:]} {proc.stderr[-200:]}",
                           flush=True)
+                    fail_budget -= 1
                 if acc is None:
                     break
                 accs.append(acc)
