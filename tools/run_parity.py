@@ -173,8 +173,8 @@ def _write_link_markdown(out_dir: str, rows, prefix: str = "link"
                 "side (VERDICT r4 task 8).\n\n")
             dual_hdr = "ref link_pred (±σ)"
         f.write("| layer | dataset | feature | ours | reference "
-                f"(±σ) | {dual_hdr} | delta | seeds | ≤2σ |\n"
-                "|---|---|---|---|---|---|---|---|---|\n")
+                f"(±σ) | {dual_hdr} | delta | seeds | ≤2σ | proto |\n"
+                "|---|---|---|---|---|---|---|---|---|---|\n")
         for r in sorted(rows, key=lambda r: (r["layer"], r["dataset"],
                                              r["feature"])):
             re_, rs_ = r.get("ref_edge"), r.get("ref_edge_std")
@@ -184,7 +184,8 @@ def _write_link_markdown(out_dir: str, rows, prefix: str = "link"
                     f"±{r['ours_std']} | {r['reference']}"
                     f"±{r['reference_std']} | {edge_col} | "
                     f"{r['delta']} | {r.get('seeds', 1)} | "
-                    f"{r.get('pass_2sigma')} |\n")
+                    f"{r.get('pass_2sigma')} | "
+                    f"v{r.get('protocol', 2)} |\n")
 
 
 LINK_LAYERS = ["gcnconv", "sageconv", "gatconv", "ginconv",
